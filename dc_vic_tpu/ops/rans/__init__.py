@@ -1,0 +1,198 @@
+"""ctypes bindings for the C++ rANS coder (auto-built on first import).
+
+Replaces compressai.ans.{RansEncoder,RansDecoder} in the reference
+(ref: src/models/subnet/context_model/minnen20_charm_context_model.py:12).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_SRC_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_SRC_DIR, "rans.cpp")
+_LIB_PATH = os.path.join(_SRC_DIR, "_librans.so")
+_build_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-o", _LIB_PATH, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+
+        lib.dcvic_rans_encode_with_indexes.restype = ctypes.c_int
+        lib.dcvic_rans_encode_with_indexes.argtypes = [
+            i32p, i32p, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
+            u8p, ctypes.c_int,
+        ]
+        lib.dcvic_rans_decode_with_indexes.restype = None
+        lib.dcvic_rans_decode_with_indexes.argtypes = [
+            u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
+            i32p, i32p, i32p,
+        ]
+        lib.dcvic_rans_decoder_new.restype = ctypes.c_void_p
+        lib.dcvic_rans_decoder_new.argtypes = [u8p, ctypes.c_int]
+        lib.dcvic_rans_decoder_free.restype = None
+        lib.dcvic_rans_decoder_free.argtypes = [ctypes.c_void_p]
+        lib.dcvic_rans_decode_stream.restype = None
+        lib.dcvic_rans_decode_stream.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+            i32p, i32p, i32p,
+        ]
+        lib.dcvic_rans_encoder_new.restype = ctypes.c_void_p
+        lib.dcvic_rans_encoder_new.argtypes = []
+        lib.dcvic_rans_encoder_free.restype = None
+        lib.dcvic_rans_encoder_free.argtypes = [ctypes.c_void_p]
+        lib.dcvic_rans_encoder_push.restype = None
+        lib.dcvic_rans_encoder_push.argtypes = [
+            ctypes.c_void_p, i32p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+            i32p, i32p,
+        ]
+        lib.dcvic_rans_encoder_flush.restype = ctypes.c_int
+        lib.dcvic_rans_encoder_flush.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a).reshape(-1), dtype=np.int32)
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class CdfTable:
+    """Quantized CDF table: rows of int32 CDFs (each summing to 1<<16),
+    per-row lengths and symbol offsets."""
+
+    def __init__(self, cdfs, cdf_lengths, offsets):
+        self.cdfs = np.ascontiguousarray(cdfs, dtype=np.int32)
+        assert self.cdfs.ndim == 2
+        self.cdf_lengths = _as_i32(cdf_lengths)
+        self.offsets = _as_i32(offsets)
+        assert len(self.cdf_lengths) == self.cdfs.shape[0]
+        assert len(self.offsets) == self.cdfs.shape[0]
+
+
+def encode_with_indexes(symbols, indexes, table: CdfTable) -> bytes:
+    lib = _load()
+    symbols = _as_i32(symbols)
+    indexes = _as_i32(indexes)
+    n = len(symbols)
+    assert len(indexes) == n
+    cap = 16 * n + 64
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        r = lib.dcvic_rans_encode_with_indexes(
+            _i32p(symbols), _i32p(indexes), n,
+            _i32p(table.cdfs), table.cdfs.shape[1],
+            _i32p(table.cdf_lengths), _i32p(table.offsets),
+            _u8p(out), cap,
+        )
+        if r >= 0:
+            return out[:r].tobytes()
+        cap = -r + 64
+
+
+def decode_with_indexes(stream: bytes, indexes, table: CdfTable) -> np.ndarray:
+    lib = _load()
+    indexes = _as_i32(indexes)
+    n = len(indexes)
+    buf = np.frombuffer(stream, dtype=np.uint8).copy()
+    out = np.empty(n, dtype=np.int32)
+    lib.dcvic_rans_decode_with_indexes(
+        _u8p(buf), len(buf), _i32p(indexes), n,
+        _i32p(table.cdfs), table.cdfs.shape[1],
+        _i32p(table.cdf_lengths), _i32p(table.offsets), _i32p(out),
+    )
+    return out
+
+
+class RansEncoder:
+    """Buffered streaming encoder: push symbol/index batches, then flush."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._h = self._lib.dcvic_rans_encoder_new()
+        self._n = 0
+
+    def push(self, symbols, indexes, table: CdfTable) -> None:
+        symbols = _as_i32(symbols)
+        indexes = _as_i32(indexes)
+        assert len(symbols) == len(indexes)
+        self._n += len(symbols)
+        self._lib.dcvic_rans_encoder_push(
+            self._h, _i32p(symbols), _i32p(indexes), len(symbols),
+            _i32p(table.cdfs), table.cdfs.shape[1],
+            _i32p(table.cdf_lengths), _i32p(table.offsets),
+        )
+
+    def flush(self) -> bytes:
+        cap = 16 * self._n + 64
+        while True:
+            out = np.empty(cap, dtype=np.uint8)
+            r = self._lib.dcvic_rans_encoder_flush(self._h, _u8p(out), cap)
+            if r >= 0:
+                self._n = 0
+                return out[:r].tobytes()
+            cap = -r + 64
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.dcvic_rans_encoder_free(self._h)
+            self._h = None
+
+
+class RansDecoder:
+    """Streaming decoder over a single rANS stream (per-slice ChARM decode)."""
+
+    def __init__(self, stream: bytes):
+        self._lib = _load()
+        self._buf = np.frombuffer(stream, dtype=np.uint8).copy()
+        self._h = self._lib.dcvic_rans_decoder_new(_u8p(self._buf), len(self._buf))
+
+    def decode_stream(self, indexes, table: CdfTable) -> np.ndarray:
+        indexes = _as_i32(indexes)
+        n = len(indexes)
+        out = np.empty(n, dtype=np.int32)
+        self._lib.dcvic_rans_decode_stream(
+            self._h, _i32p(indexes), n,
+            _i32p(table.cdfs), table.cdfs.shape[1],
+            _i32p(table.cdf_lengths), _i32p(table.offsets), _i32p(out),
+        )
+        return out
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.dcvic_rans_decoder_free(self._h)
+            self._h = None
