@@ -1,0 +1,248 @@
+"""Codec driver: compress / decompress orchestration.
+
+TPU-first restructure of the reference codec path (ref:
+src/models/comp_model/hyperprior_dc_vic_model.py:330-440 and
+hyperprior_charm_dc_vic_model.py:62-91):
+
+  * The reference moves entropy models + hyperdecoder + context model to the
+    CPU and interleaves torch convs with rANS calls. Here ALL transforms stay
+    on device as a handful of jitted graphs; only int32 symbol/index planes
+    cross the host boundary, and the host does pure rANS byte work in C++.
+  * Encode is ONE device graph (transforms + quantization + CDF indexes for
+    the whole ChARM slice chain) + one host rANS pass.
+  * The ChARM decode is inherently sequential across slices: per slice, one
+    device call predicts (mu, indexes), the host rANS-decodes that slice's
+    symbols, one device call reconstructs the slice (LRP). Batched across
+    images to amortize the 6 round-trips.
+  * jit caches are keyed by padded shape buckets, so a resolution sweep
+    compiles once per bucket.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import CompModelSpec
+from ..models.dc_vic import STRIDE, likelihood_to_bpp
+from ..ops.rans import (
+    CdfTable,
+    RansDecoder,
+    decode_with_indexes,
+    encode_with_indexes,
+)
+from .bottleneck import EntropyBottleneck, build_bottleneck_cdf
+from .container import HeaderHandler
+from .gaussian import get_scale_table
+
+
+def _pad_np(x: np.ndarray, stride: int = STRIDE) -> np.ndarray:
+    H, W = x.shape[1], x.shape[2]
+    ph, pw = (-H) % stride, (-W) % stride
+    if ph == 0 and pw == 0:
+        return x
+    return np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+
+
+class Codec:
+    """Stateful codec around a built model: tables + jitted graph cache
+    (equivalent of codec_setup + compress/decompress in the reference)."""
+
+    def __init__(self, spec: CompModelSpec, params):
+        self.spec = spec
+        self.module = spec.module
+        self.params = params
+        # architecture constants (ref probes these with a dummy run,
+        # hyperprior_dc_vic_model.py:75-89; they are static here: 4 stride-2
+        # convs in the encoder, 2 in the hyperencoder)
+        self.y_stride = 16
+        self.model_stride = 64
+        self._setup_tables()
+        self._jit = {}
+
+    # ------------------------------------------------------------------
+    def _setup_tables(self):
+        from .gaussian import GaussianConditional
+        eb = EntropyBottleneck(self.module.bottleneck_z)
+        z_params = {"params": self.params["params"]["entropy_z"]}
+        self.z_table: CdfTable = build_bottleneck_cdf(eb, z_params)
+        gaussian = GaussianConditional(scale_bound=self.module.scale_bound)
+        self.y_table: CdfTable = gaussian.build_cdf_table(get_scale_table())
+        self.num_slices = (self.module.context_cfg or {}).get("num_slices", 6) \
+            if self.module.use_charm else 0
+
+    def _get_jit(self, key, make):
+        if key not in self._jit:
+            self._jit[key] = make()
+        return self._jit[key]
+
+    # ------------------------------------------------------------------
+    def _encode_fn(self):
+        def f(params, x, b1, b2):
+            return self.module.apply(params, x, b1, b2,
+                                     method=self.module.encode_deterministic)
+        return jax.jit(f)
+
+    def _hyper_decode_fn(self):
+        return jax.jit(lambda p, zs: self.module.apply(
+            p, zs, method=self.module.hyper_decode))
+
+    def _slice_params_fn(self, i):
+        return jax.jit(lambda p, ho, prev: self.module.apply(
+            p, i, ho, prev, method=self.module.charm_slice_params))
+
+    def _slice_recon_fn(self, i):
+        return jax.jit(lambda p, ho, prev, sym, mu: self.module.apply(
+            p, i, ho, prev, sym, mu,
+            method=self.module.charm_slice_reconstruct))
+
+    def _recon_fn(self):
+        def f(params, y_hat, b1, b2):
+            fake, *_ = self.module.apply(
+                params, y_hat, b1, b2, method=self.module.decode_from_y_hat)
+            return fake
+        return jax.jit(f)
+
+    def _y_indexes_fn(self):
+        return jax.jit(lambda p, sigma: self.module.apply(
+            p, sigma, method=self.module.y_indexes))
+
+    # ------------------------------------------------------------------
+    def compress(self, images: np.ndarray, quality_ind: Optional[int] = None,
+                 beta_rate: Optional[float] = None,
+                 beta_vq: Optional[float] = None) -> List[Dict]:
+        """images: [B, H, W, 3] float in [-1, 1] (unpadded). Returns one dict
+        per image with string_list [header, z_str, y_str] + rate stats."""
+        if quality_ind is not None:
+            beta_rate, beta_vq = self.spec.quality_betas(quality_ind)
+        else:
+            assert beta_rate is not None and beta_vq is not None
+            quality_ind = 0
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        x = _pad_np(np.asarray(images, np.float32))
+
+        enc = self._get_jit(("enc", x.shape), self._encode_fn)
+        b1 = jnp.array([beta_rate], jnp.float32)
+        b2 = jnp.array([beta_vq], jnp.float32)
+        out = enc(self.params, jnp.asarray(x), b1, b2)
+
+        z_sym = np.asarray(out["z_symbols"])
+        y_sym = np.asarray(out["y_symbols"])
+        y_idx = np.asarray(out["y_indexes"])
+        max_abs_y = int(np.abs(np.asarray(out["y_hat"])).max())
+
+        Cz = z_sym.shape[-1]
+        z_idx1 = np.broadcast_to(
+            np.arange(Cz, dtype=np.int32), z_sym.shape[1:]).reshape(-1)
+
+        num_pixel = H * W
+        y_bpp = float(likelihood_to_bpp(out["y_likelihood"], B * num_pixel))
+        z_bpp = float(likelihood_to_bpp(out["z_likelihood"], B * num_pixel))
+
+        if self.module.use_charm:
+            # The per-slice decode reads each slice's symbols contiguously:
+            # reorder [H, W, C] -> [slice, H, W, slice_ch] before flattening.
+            sc = y_sym.shape[-1] // self.num_slices
+            def slice_major(a):
+                h, w, c = a.shape[1], a.shape[2], a.shape[3]
+                return (a.reshape(B, h, w, self.num_slices, sc)
+                         .transpose(0, 3, 1, 2, 4).reshape(B, -1))
+            y_sym = slice_major(y_sym)
+            y_idx = slice_major(y_idx)
+
+        results = []
+        for b in range(B):
+            z_str = encode_with_indexes(z_sym[b].reshape(-1), z_idx1,
+                                        self.z_table)
+            y_str = encode_with_indexes(y_sym[b].reshape(-1),
+                                        y_idx[b].reshape(-1), self.y_table)
+            header = HeaderHandler.encode((H, W), max_abs_y, quality_ind)
+            results.append(dict(
+                string_list=[header, z_str, y_str],
+                pred_y_bpp=y_bpp, pred_z_bpp=z_bpp,
+                y_hat=np.asarray(out["y_hat"][b]),
+                z_hat=np.asarray(out["z_hat"][b]),
+                num_pixel=num_pixel,
+            ))
+        return results
+
+    # ------------------------------------------------------------------
+    def decompress(self, string_lists: List[List[bytes]]) -> np.ndarray:
+        """Batched decode of same-resolution, same-quality bitstreams.
+        Returns images [B, H, W, 3] float32 in [-1, 1]."""
+        headers = [HeaderHandler.decode(s[0]) for s in string_lists]
+        H, W = headers[0]["img_size"]
+        q = headers[0]["quality_ind"]
+        assert all(h["img_size"] == (H, W) for h in headers)
+        assert all(h["quality_ind"] == q for h in headers)
+        beta_rate, beta_vq = self.spec.quality_betas(q)
+        return self.decompress_raw(
+            [s[1] for s in string_lists], [s[2] for s in string_lists],
+            (H, W), beta_rate, beta_vq)
+
+    def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
+                       img_size: Tuple[int, int], beta_rate: float,
+                       beta_vq: float) -> np.ndarray:
+        H, W = img_size
+        B = len(z_strs)
+        padH = -(-H // self.model_stride) * self.model_stride
+        padW = -(-W // self.model_stride) * self.model_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        Cz = self.module.bottleneck_z
+        Cy = self.module.bottleneck_y
+
+        # z: factorized decode, one shot per image
+        z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
+                                 (zH, zW, Cz)).reshape(-1)
+        z_sym = np.stack([
+            decode_with_indexes(s, z_idx1, self.z_table).reshape(zH, zW, Cz)
+            for s in z_strs])
+
+        hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
+                              self._hyper_decode_fn)
+        hyper_out, _ = hyper(self.params, jnp.asarray(z_sym))
+
+        b1 = jnp.array([beta_rate], jnp.float32)
+        b2 = jnp.array([beta_vq], jnp.float32)
+
+        if self.module.use_charm:
+            y_hat = self._charm_decode(hyper_out, y_strs, B, yH, yW, Cy)
+        else:
+            means, sigma = np.split(np.asarray(hyper_out), 2, axis=-1)
+            yidx_fn = self._get_jit(("yidx", sigma.shape), self._y_indexes_fn)
+            idx = np.asarray(yidx_fn(self.params, jnp.asarray(sigma)))
+            sym = np.stack([
+                decode_with_indexes(s, idx[b].reshape(-1), self.y_table)
+                .reshape(yH, yW, Cy)
+                for b, s in enumerate(y_strs)])
+            y_hat = jnp.asarray(sym.astype(np.float32)) + jnp.asarray(means)
+
+        recon = self._get_jit(("recon", (B, yH, yW, Cy)), self._recon_fn)
+        fake = recon(self.params, y_hat, b1, b2)
+        fake = np.asarray(fake)[:, :H, :W, :]
+        return np.clip(fake, -1.0, 1.0)
+
+    def _charm_decode(self, hyper_out, y_strs: List[bytes], B, yH, yW, Cy):
+        slice_ch = Cy // self.num_slices
+        decoders = [RansDecoder(s) for s in y_strs]
+        y_hat_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
+
+        for i in range(self.num_slices):
+            pf = self._get_jit(("slice_p", i, (B, yH, yW)),
+                               lambda i=i: self._slice_params_fn(i))
+            mu, idx = pf(self.params, hyper_out, y_hat_prev)
+            idx_np = np.asarray(idx)
+            sym = np.stack([
+                decoders[b].decode_stream(idx_np[b].reshape(-1), self.y_table)
+                .reshape(yH, yW, slice_ch)
+                for b in range(B)])
+            rf = self._get_jit(("slice_r", i, (B, yH, yW)),
+                               lambda i=i: self._slice_recon_fn(i))
+            y_hat_slice = rf(self.params, hyper_out, y_hat_prev,
+                             jnp.asarray(sym), mu)
+            y_hat_prev = jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+        return y_hat_prev

@@ -1,0 +1,336 @@
+"""Composite DC-VIC compression models (ref: src/models/comp_model/).
+
+One flax module covers the reference's model family via flags:
+  * use_beta:  dual (beta_rate, beta_vq) FiLM conditioning
+               (HyperpriorDualCondVicModel vs HyperpriorVicModel)
+  * use_charm: channel-autoregressive y entropy model
+               (HyperpriorCharm* vs plain hyperprior)
+
+The module exposes pure methods (invoked via .apply(..., method=...)) so the
+codec drivers can jit exactly the sub-graphs they need: one fused graph for
+encode-side (transforms + symbolization), per-slice graphs for the
+autoregressive decode, one fused graph for reconstruction.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..codec.bottleneck import EntropyBottleneck
+from ..codec.gaussian import GaussianConditional
+from ..utils.registry import (
+    DECODER_REGISTRY,
+    ENCODER_REGISTRY,
+    HYPERDECODER_REGISTRY,
+    HYPERENCODER_REGISTRY,
+    MODEL_REGISTRY,
+)
+from .subnets import DualBlockSwinVqEstimator, Minnen20CharmContextModel
+from .vqgan import VQDecoder, VQModel
+
+Dtype = Any
+
+# Images larger than this are reconstructed via overlap-tiled decode
+# (ref: hyperprior_vic_model.py:25 SPLIT_DECODE_RESOLUTION).
+SPLIT_DECODE_RESOLUTION = 1024
+STRIDE = 64  # reflect-pad multiple (ref: base_model.py:30)
+
+
+def pad_image(x: jnp.ndarray, stride: int = STRIDE) -> jnp.ndarray:
+    """Reflect-pad NHWC image up to a stride multiple (ref: base_model.py:165-172)."""
+    H, W = x.shape[1], x.shape[2]
+    pad_h = (-H) % stride
+    pad_w = (-W) % stride
+    if pad_h == 0 and pad_w == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+
+
+def crop_image(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    return x[:, :H, :W, :]
+
+
+def likelihood_to_bpp(likelihood: jnp.ndarray, num_pixel: int) -> jnp.ndarray:
+    bits = -jnp.sum(jnp.log(likelihood)) / jnp.log(2.0)
+    return bits / num_pixel
+
+
+class DCVICModel(nn.Module):
+    """Dual-conditioned VQGAN-based image compression model."""
+    # subnet configs (yaml `subnet:` subtrees minus the `type:` key)
+    encoder_type: str = "ElicDualBetaFtVqScEncoder"
+    encoder_cfg: Optional[Dict[str, Any]] = None
+    decoder_type: str = "ElicDualBetaFtFeatFusionDecoder"
+    decoder_cfg: Optional[Dict[str, Any]] = None
+    hyperencoder_type: str = "Minnen20HyperEncoder"
+    hyperencoder_cfg: Optional[Dict[str, Any]] = None
+    hyperdecoder_type: str = "Minnen20HyperDecoder"
+    hyperdecoder_cfg: Optional[Dict[str, Any]] = None
+    context_cfg: Optional[Dict[str, Any]] = None
+    vq_estimator_cfg: Optional[Dict[str, Any]] = None
+    fuse_schedule: Optional[Dict[str, Dict[str, int]]] = None
+    ddconfig: Optional[Dict[str, Any]] = None
+    n_embed: int = 256
+    embed_dim: int = 4
+    bottleneck_y: int = 192
+    bottleneck_z: int = 192
+    scale_bound: float = 0.11
+    enc_vq_input: str = "onehot_indices"
+    use_charm: bool = True
+    use_beta: bool = True
+    gumbel_sampling: bool = False
+    gumbel_tau: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        enc_cfg = dict(self.encoder_cfg or {})
+        dec_cfg = dict(self.decoder_cfg or {})
+        self.encoder = ENCODER_REGISTRY.get(self.encoder_type)(
+            dtype=self.dtype, name="encoder", **enc_cfg)
+        self.decoder = DECODER_REGISTRY.get(self.decoder_type)(
+            dtype=self.dtype, name="decoder", **dec_cfg)
+        self.hyperencoder = HYPERENCODER_REGISTRY.get(self.hyperencoder_type)(
+            dtype=self.dtype, name="hyperencoder",
+            **dict(self.hyperencoder_cfg or {}))
+        self.hyperdecoder = HYPERDECODER_REGISTRY.get(self.hyperdecoder_type)(
+            dtype=self.dtype, name="hyperdecoder",
+            **dict(self.hyperdecoder_cfg or {}))
+
+        self.entropy_z = EntropyBottleneck(self.bottleneck_z, name="entropy_z")
+        self.gaussian = GaussianConditional(scale_bound=self.scale_bound)
+        if self.use_charm:
+            self.context_model = Minnen20CharmContextModel(
+                bottleneck_y=self.bottleneck_y, gaussian=self.gaussian,
+                dtype=self.dtype, name="context_model",
+                **dict(self.context_cfg or {}))
+
+        self.vq_estimator = DualBlockSwinVqEstimator(
+            n_embed=self.n_embed, embed_dim=self.embed_dim, dtype=self.dtype,
+            name="vq_estimator", **dict(self.vq_estimator_cfg or {}))
+
+        # Frozen VQGAN prior: encoder/quantizer side...
+        self.vq_model = VQModel(
+            n_embed=self.n_embed, embed_dim=self.embed_dim,
+            ddconfig=self.ddconfig, with_decoder=False, dtype=self.dtype,
+            name="vq_model")
+        # ...and the decoder with trainable SFT fusion taps. Its non-fusion
+        # parameters are populated with (and frozen to) the same VQGAN
+        # checkpoint weights; only 'fusion_*' subtrees train.
+        dd = dict(self.ddconfig or {})
+        self.fused_decoder = VQDecoder(
+            ch=dd.get("ch", 128), ch_mult=tuple(dd.get("ch_mult", (1, 2, 2, 4))),
+            num_res_blocks=dd.get("num_res_blocks", 2),
+            attn_resolutions=tuple(dd.get("attn_resolutions", (32,))),
+            resolution=dd.get("resolution", 256),
+            z_channels=dd.get("z_channels", 4), out_ch=dd.get("out_ch", 3),
+            fuse_schedule=self.fuse_schedule, dtype=self.dtype,
+            name="fused_decoder")
+
+    # ------------------------------------------------------------------ VQ
+    def vq_encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Frozen VQGAN encode + nearest-codeword quantize.
+        Returns (gt_vq_latent [B,h8,w8,D], gt_vq_indices [B,h8,w8])."""
+        h = self.vq_model.encode(x)
+        z_q, _, idx = self.vq_model.quantize(h)
+        return jax.lax.stop_gradient(z_q), jax.lax.stop_gradient(idx)
+
+    def vq_indices_to_latent(self, indices: jnp.ndarray) -> jnp.ndarray:
+        return self.vq_model.quantize.lookup(indices)
+
+    def _vq_feat(self, gt_vq_latent, gt_vq_indices):
+        """Encoder-side VQ conditioning feature (ref: comp_encode,
+        hyperprior_vic_model.py:248-290)."""
+        if self.enc_vq_input == "onehot_indices":
+            onehot = jax.nn.one_hot(gt_vq_indices, self.n_embed,
+                                    dtype=gt_vq_latent.dtype)
+            return jnp.concatenate([gt_vq_latent, onehot], axis=-1)
+        if self.enc_vq_input == "norm_indices":
+            norm = (gt_vq_indices.astype(gt_vq_latent.dtype)
+                    / (self.n_embed - 1))[..., None]
+            return jnp.concatenate([gt_vq_latent, norm], axis=-1)
+        raise NotImplementedError(self.enc_vq_input)
+
+    # ------------------------------------------------------------- encode
+    def comp_encode(self, x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq):
+        feat = self._vq_feat(gt_vq_latent, gt_vq_indices)
+        feat = jax.lax.stop_gradient(feat)
+        if self.use_beta:
+            return self.encoder(x, feat, beta_rate, beta_vq)
+        return self.encoder(x, feat)
+
+    def estimate_entropy(self, y, is_train: bool,
+                         rng: Optional[jax.Array] = None,
+                         calc_q_likelihood: bool = True) -> Dict:
+        rng_z = rng_y = None
+        if rng is not None:
+            rng_z, rng_y = jax.random.split(rng)
+        z = self.hyperencoder(y)
+        z_hat, z_lik = self.entropy_z(z, is_train=is_train, rng=rng_z)
+        _, z_q_lik = self.entropy_z(jax.lax.stop_gradient(z), is_train=False)
+        hyper_out = self.hyperdecoder(z_hat)
+
+        if self.use_charm:
+            y_hat, y_lik, y_q_lik = self.context_model(
+                y, hyper_out, is_train=is_train, rng=rng_y,
+                calc_q_likelihood=True)
+        else:
+            y_hat, y_lik = self.gaussian(y, hyper_out, is_train, rng_y)
+            _, y_q_lik = self.gaussian(
+                jax.lax.stop_gradient(y), jax.lax.stop_gradient(hyper_out),
+                is_train=False)
+
+        return dict(
+            quantized_code=dict(y=y_hat, z=z_hat),
+            latent_code=dict(y=y, z=z),
+            likelihoods=dict(y=y_lik, z=z_lik),
+            q_likelihoods=dict(y=y_q_lik, z=z_q_lik),
+        )
+
+    # ------------------------------------------------------------- decode
+    def decode_from_y_hat(self, y_hat, beta_rate=None, beta_vq=None,
+                          w: float = 1.0, rng: Optional[jax.Array] = None,
+                          use_gumbel: bool = False):
+        """y_hat -> reconstruction. Returns (fake_images, vq_latent_pred,
+        vq_logits, vq_indices)."""
+        if self.use_beta:
+            feat, cond_feats = self.decoder.get_feats(y_hat, beta_rate, beta_vq)
+        else:
+            feat, cond_feats = self.decoder.get_feats(y_hat)
+        pred_embed, logits = self.vq_estimator(feat)
+        indices = jnp.argmax(logits, axis=-1)
+
+        if use_gumbel and self.gumbel_sampling:
+            assert rng is not None
+            g = jax.random.gumbel(rng, logits.shape, logits.dtype)
+            weights = jax.nn.softmax((logits + g) / self.gumbel_tau, axis=-1)
+            vq_latent = jnp.einsum("bhwn,nd->bhwd", weights,
+                                   self.vq_model.quantize.embedding)
+        else:
+            vq_latent = self.vq_indices_to_latent(indices)
+
+        vq_latent = self.vq_model.post_quant_conv(vq_latent)
+        fake = self.fused_decoder(vq_latent, cond_feats, w)
+        return fake, pred_embed, logits, indices
+
+    # ------------------------------------------------------------ forward
+    def __call__(self, x, beta_rate=None, beta_vq=None, is_train: bool = True,
+                 rng: Optional[jax.Array] = None,
+                 fix_entropy_models: bool = False, w: float = 1.0) -> Dict:
+        """Full training/eval forward (ref: hyperprior_dc_vic_model.py:208-274).
+
+        x: NHWC in [-1, 1], already padded to a stride-64 multiple.
+        """
+        gt_vq_latent, gt_vq_indices = self.vq_encode(x)
+
+        def enc_branch():
+            y = self.comp_encode(x, gt_vq_latent, gt_vq_indices,
+                                 beta_rate, beta_vq)
+            rng_e = None if rng is None else jax.random.fold_in(rng, 1)
+            return y, self.estimate_entropy(y, is_train=is_train, rng=rng_e)
+
+        if fix_entropy_models:
+            # GAN stages freeze encoder+entropy: no grads through this branch
+            # (ref: dual_cond_gan trainer :126-131).
+            y, entropy = jax.tree.map(jax.lax.stop_gradient, enc_branch())
+        else:
+            y, entropy = enc_branch()
+        y_hat = entropy["quantized_code"]["y"]
+
+        rng_g = None if rng is None else jax.random.fold_in(rng, 2)
+        fake, pred_embed, logits, indices = self.decode_from_y_hat(
+            y_hat, beta_rate, beta_vq, w=w, rng=rng_g,
+            use_gumbel=is_train and self.gumbel_sampling)
+
+        vq_acc = jnp.mean((indices == gt_vq_indices).astype(jnp.float32))
+        num_pixel = x.shape[0] * x.shape[1] * x.shape[2]
+        bpp = (likelihood_to_bpp(entropy["likelihoods"]["y"], num_pixel)
+               + likelihood_to_bpp(entropy["likelihoods"]["z"], num_pixel))
+        qbpp = (likelihood_to_bpp(entropy["q_likelihoods"]["y"], num_pixel)
+                + likelihood_to_bpp(entropy["q_likelihoods"]["z"], num_pixel))
+
+        return dict(
+            fake_images=fake,
+            out_vq_latent=pred_embed,
+            gt_vq_latent=gt_vq_latent,
+            out_vq_logits=logits,
+            gt_vq_indices=gt_vq_indices,
+            vq_accuracy=vq_acc,
+            bpp=bpp,
+            qbpp=qbpp,
+            **entropy,
+        )
+
+    # --------------------------------------------------- codec-side graphs
+    def encode_deterministic(self, x, beta_rate, beta_vq) -> Dict:
+        """Jittable encode: image -> z symbols + y symbols + sigma (for CDF
+        indexes). Everything the host rANS encoder needs, in one graph
+        (ref: compress at hyperprior_dc_vic_model.py:330-376, restructured so
+        only int32 symbol planes cross to the host)."""
+        gt_vq_latent, gt_vq_indices = self.vq_encode(x)
+        y = self.comp_encode(x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq)
+        z = self.hyperencoder(y)
+        z_sym = self.entropy_z.quantize_symbols(z)
+        z_hat = self.entropy_z.dequantize(z_sym)
+        hyper_out = self.hyperdecoder(z_hat)
+
+        if self.use_charm:
+            y_sym, sigma, y_hat, y_lik = self.context_model.compress_forward(
+                y, hyper_out)
+        else:
+            means, sigma = jnp.split(hyper_out, 2, axis=-1)
+            y_sym = self.gaussian.quantize_symbols(y, means)
+            y_hat = self.gaussian.dequantize(y_sym, means)
+            _, y_lik = self.gaussian(y, hyper_out, is_train=False)
+
+        _, z_lik = self.entropy_z(z, is_train=False)
+        return dict(z_symbols=z_sym, y_symbols=y_sym, sigma=sigma,
+                    y_indexes=self.y_indexes(sigma),
+                    y_hat=y_hat, z_hat=z_hat, y_likelihood=y_lik,
+                    z_likelihood=z_lik)
+
+    def hyper_decode(self, z_symbols):
+        """z symbols -> hyper_out (decode side, jittable)."""
+        z_hat = self.entropy_z.dequantize(z_symbols)
+        return self.hyperdecoder(z_hat), z_hat
+
+    def charm_slice_params(self, slice_ind: int, hyper_out, y_hat_prev):
+        """Decode-side: (mu, cdf indexes) for one slice."""
+        mu, sigma = self.context_model.slice_params(
+            slice_ind, hyper_out, y_hat_prev)
+        return mu, self.y_indexes(sigma)
+
+    def charm_slice_reconstruct(self, slice_ind: int, hyper_out, y_hat_prev,
+                                symbols, mu):
+        return self.context_model.slice_reconstruct(
+            slice_ind, hyper_out, y_hat_prev, symbols, mu)
+
+    def y_indexes(self, sigma):
+        from ..codec.gaussian import get_scale_table
+        return self.gaussian.build_indexes(sigma, get_scale_table())
+
+    def aux_loss(self):
+        return self.entropy_z.aux_loss()
+
+
+@MODEL_REGISTRY.register("HyperpriorCharmDualCondVicModel")
+def _charm_dual(**kw):
+    return DCVICModel(use_charm=True, use_beta=True, **kw)
+
+
+@MODEL_REGISTRY.register("HyperpriorDualCondVicModel")
+def _dual(**kw):
+    return DCVICModel(use_charm=False, use_beta=True, **kw)
+
+
+@MODEL_REGISTRY.register("HyperpriorCharmVicModel")
+def _charm(**kw):
+    return DCVICModel(use_charm=True, use_beta=False, **kw)
+
+
+@MODEL_REGISTRY.register("HyperpriorVicModel")
+def _vic(**kw):
+    return DCVICModel(use_charm=False, use_beta=False, **kw)

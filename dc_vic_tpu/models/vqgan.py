@@ -1,0 +1,285 @@
+"""Frozen VQGAN prior (f8-n256): encoder, quantizer, decoder-with-fusion-taps.
+
+Rebuilds the vendored latent-diffusion VQModel path the reference depends on
+(ref: ldm/models/autoencoder.py:264-282, ldm/modules/diffusionmodules/model.py:368-568,
+taming/modules/vqvae/quantize.py:213-312) as flax modules in NHWC. The decoder
+exposes SFT fusion injection points keyed 'before_mid' / 'after_mid' /
+'block_1_{8,4,2,1}', replacing the reference's inline re-implementation of the
+decoder forward (ref: src/models/subnet/vq_fusion_module.py:78-126) with a
+first-class tap mechanism — one jitted graph, no Python-side module surgery.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.layers import Conv, FuseSftBlock, num_groups32
+from ..ops.vq import vq_argmin
+
+Dtype = Any
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+class VQResnetBlock(nn.Module):
+    """GroupNorm -> swish -> conv, twice, with 1x1 shortcut on channel change."""
+    out_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=num_groups32(in_ch), epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = swish(h)
+        h = Conv(self.out_ch, 3, dtype=self.dtype, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=num_groups32(self.out_ch), epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = swish(h)
+        h = Conv(self.out_ch, 3, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_ch:
+            x = Conv(self.out_ch, 1, dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class VQAttnBlock(nn.Module):
+    """Single-head full softmax self-attention over all spatial positions."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=num_groups32(C), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        q = Conv(C, 1, dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
+        k = Conv(C, 1, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
+        v = Conv(C, 1, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
+        attn = jnp.einsum("bnc,bmc->bnm", q, k,
+                          preferred_element_type=jnp.float32) * (C ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(B, H, W, C)
+        out = Conv(C, 1, dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv with asymmetric (0,1) padding (torch-parity)."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        return nn.Conv(C, (3, 3), strides=(2, 2), padding=[(0, 1), (0, 1)],
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then 3x3 conv."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return Conv(C, 3, dtype=self.dtype, name="conv")(x)
+
+
+class VQEncoder(nn.Module):
+    """ddconfig encoder: conv_in -> per-level ResnetBlocks(+attn)+Downsample ->
+    mid(block, attn, block) -> GN+swish+conv_out (z_channels)."""
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    z_channels: int = 4
+    double_z: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv(self.ch, 3, dtype=self.dtype, name="conv_in")(x)
+        curr_res = self.resolution
+        for i_level, mult in enumerate(self.ch_mult):
+            for i_block in range(self.num_res_blocks):
+                h = VQResnetBlock(self.ch * mult, dtype=self.dtype,
+                                  name=f"down_{i_level}_block_{i_block}")(h)
+                if curr_res in self.attn_resolutions:
+                    h = VQAttnBlock(dtype=self.dtype,
+                                    name=f"down_{i_level}_attn_{i_block}")(h)
+            if i_level != len(self.ch_mult) - 1:
+                h = Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
+                curr_res //= 2
+
+        h = VQResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
+        h = VQAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = VQResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+
+        h = nn.GroupNorm(num_groups=num_groups32(h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
+                         name="norm_out")(h)
+        h = swish(h)
+        out_ch = 2 * self.z_channels if self.double_z else self.z_channels
+        return Conv(out_ch, 3, dtype=self.dtype, name="conv_out")(h)
+
+
+class VQDecoder(nn.Module):
+    """ddconfig decoder with optional SFT fusion taps.
+
+    Call with cond_feats=None for the plain VQGAN decode, or with a dict of
+    conditioning features keyed by fuse_schedule to apply the DC-VIC fusion
+    (tap placement per ref: src/models/subnet/vq_fusion_module.py:78-126:
+    'before_mid' after conv_in, 'after_mid' after mid, 'block_1_{2^l}' after
+    level l's blocks and before its upsample).
+    """
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    z_channels: int = 4
+    out_ch: int = 3
+    tanh_out: bool = False
+    give_pre_end: bool = False
+    # fusion key -> dict(cond_ch, mid_ch); dec_ch inferred from topology
+    fuse_schedule: Optional[Dict[str, Dict[str, int]]] = None
+    dtype: Optional[Dtype] = None
+
+    def _fuse(self, key: str, h, cond_feats, w, dec_ch: int):
+        sched = self.fuse_schedule or {}
+        if key not in sched:
+            return h
+        blk = FuseSftBlock(dec_ch=dec_ch, mid_ch=sched[key].get("mid_ch", dec_ch),
+                           dtype=self.dtype, name=f"fusion_{key}")
+        if cond_feats is None or key not in cond_feats:
+            raise ValueError(f"fusion key {key!r} scheduled but no cond feature given")
+        return blk(h, cond_feats[key], w)
+
+    @nn.compact
+    def __call__(self, z, cond_feats: Optional[Dict[str, jnp.ndarray]] = None,
+                 w: float = 1.0):
+        num_levels = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[-1]
+        curr_res = self.resolution // 2 ** (num_levels - 1)
+
+        h = Conv(block_in, 3, dtype=self.dtype, name="conv_in")(z)
+        h = self._fuse("before_mid", h, cond_feats, w, block_in)
+
+        h = VQResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = VQAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+        h = VQResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = self._fuse("after_mid", h, cond_feats, w, block_in)
+
+        for i_level in reversed(range(num_levels)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = VQResnetBlock(block_out, dtype=self.dtype,
+                                  name=f"up_{i_level}_block_{i_block}")(h)
+                if curr_res in self.attn_resolutions:
+                    h = VQAttnBlock(dtype=self.dtype,
+                                    name=f"up_{i_level}_attn_{i_block}")(h)
+            h = self._fuse(f"block_1_{2 ** i_level}", h, cond_feats, w, block_out)
+            if i_level != 0:
+                h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+
+        if self.give_pre_end:
+            return h
+        h = nn.GroupNorm(num_groups=num_groups32(h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
+                         name="norm_out")(h)
+        h = swish(h)
+        h = Conv(self.out_ch, 3, dtype=self.dtype, name="conv_out")(h)
+        if self.tanh_out:
+            h = jnp.tanh(h)
+        return h
+
+
+class VectorQuantizer(nn.Module):
+    """Nearest-codeword quantizer over an [n_embed, embed_dim] codebook
+    (ref: taming VectorQuantizer2 with sane_index_shape=True).
+
+    quantize(h) returns (z_q with straight-through gradient, commit loss,
+    indices [B, H, W]).
+    """
+    n_embed: int = 256
+    embed_dim: int = 4
+    beta: float = 0.25
+
+    def setup(self):
+        self.embedding = self.param(
+            "embedding",
+            nn.initializers.uniform(scale=2.0 / self.n_embed),
+            (self.n_embed, self.embed_dim),
+        )
+        # note: torch init is U(-1/n, 1/n); flax uniform is [0, scale) — the
+        # converter overwrites this with checkpoint weights, and fresh training
+        # recenters it; offset by -1/n for symmetry.
+
+    def lookup(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """indices [B, H, W] -> latents [B, H, W, embed_dim]."""
+        return jnp.take(self.embedding, indices, axis=0)
+
+    def __call__(self, z: jnp.ndarray):
+        B, H, W, D = z.shape
+        flat = z.reshape(-1, D)
+        # argmin is piecewise-constant: block autodiff through the search
+        idx = vq_argmin(jax.lax.stop_gradient(flat),
+                        jax.lax.stop_gradient(self.embedding))
+        z_q = jnp.take(self.embedding, idx, axis=0).reshape(B, H, W, D)
+        # legacy=True loss weighting (ref: quantize.py:294-297)
+        loss = jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2) + \
+            self.beta * jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2)
+        z_q = z + jax.lax.stop_gradient(z_q - z)
+        return z_q, loss, idx.reshape(B, H, W)
+
+
+class VQModel(nn.Module):
+    """VQModelInterface equivalent: encode returns the PRE-quantization latent
+    h (ref: ldm/models/autoencoder.py:264-282); quantization is explicit."""
+    n_embed: int = 256
+    embed_dim: int = 4
+    ddconfig: Optional[Dict[str, Any]] = None
+    with_decoder: bool = True
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        dd = dict(self.ddconfig or {})
+        common = dict(
+            ch=dd.get("ch", 128),
+            ch_mult=tuple(dd.get("ch_mult", (1, 2, 2, 4))),
+            num_res_blocks=dd.get("num_res_blocks", 2),
+            attn_resolutions=tuple(dd.get("attn_resolutions", (32,))),
+            resolution=dd.get("resolution", 256),
+            z_channels=dd.get("z_channels", 4),
+            dtype=self.dtype,
+        )
+        self.encoder = VQEncoder(double_z=dd.get("double_z", False), **common)
+        if self.with_decoder:
+            self.decoder = VQDecoder(out_ch=dd.get("out_ch", 3), **common)
+        self.quantize = VectorQuantizer(self.n_embed, self.embed_dim)
+        self.quant_conv = nn.Dense(self.embed_dim, dtype=self.dtype)       # 1x1 conv
+        self.post_quant_conv = nn.Dense(dd.get("z_channels", 4), dtype=self.dtype)
+
+    def encode(self, x):
+        """image [-1,1] NHWC -> pre-quant latent h [B, H/8, W/8, embed_dim]."""
+        h = self.encoder(x)
+        return self.quant_conv(h)
+
+    def encode_quantize(self, x):
+        h = self.encode(x)
+        z_q, _, idx = self.quantize(h)
+        return z_q, idx
+
+    def decode(self, h, force_not_quantize: bool = False):
+        if not force_not_quantize:
+            h, _, _ = self.quantize(h)
+        h = self.post_quant_conv(h)
+        return self.decoder(h)
+
+    def __call__(self, x):
+        """Full autoencode round trip (used for init/shape checks)."""
+        h = self.encode(x)
+        z_q, loss, idx = self.quantize(h)
+        rec = self.decoder(self.post_quant_conv(z_q))
+        return rec, loss, idx

@@ -1,0 +1,323 @@
+"""Reusable NN building blocks (flax.linen, NHWC layout).
+
+TPU-first re-designs of the reference layer zoo (ref: src/models/layer/):
+ELIC residual bottleneck stacks, Cheng NLAM attention, FiLM-style dual-beta
+conditioning with Fourier embeddings, SFT fusion blocks, GDN. All convs use
+explicit torch-equivalent padding so released PyTorch checkpoints can be
+converted weight-for-weight (OIHW -> HWIO; deconv additionally flips HW and
+swaps I/O).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def num_groups32(channels: int) -> int:
+    """GroupNorm group count: 32 like the reference (all real configs use
+    channel counts divisible by 32); falls back to the largest common divisor
+    for small test configs."""
+    import math
+    return 32 if channels % 32 == 0 else math.gcd(32, channels)
+
+
+def conv_pad(k: int) -> Sequence[Tuple[int, int]]:
+    p = (k - 1) // 2
+    return [(p, p), (p, p)]
+
+
+class Conv(nn.Module):
+    """3x3/5x5/1x1 conv with torch-style symmetric padding (NHWC)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=conv_pad(self.kernel),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class DeconvTorch(nn.Module):
+    """Equivalent of torch ConvTranspose2d(k, stride=2, padding=p, output_padding=1).
+
+    Implemented as an input-dilated convolution: lhs_dilation=2 with per-side
+    padding (k-1-p, k-1-p+1). Doubles spatial dims for even inputs. Converter
+    rule for torch weights: flip kernel spatially and transpose (I,O)->(O,I)
+    before the OIHW->HWIO relayout.
+    """
+    features: int
+    kernel: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        p = (k - 1) // 2
+        pad = (k - 1 - p, k - 1 - p + 1)
+        y = nn.Conv(
+            self.features, (k, k),
+            strides=(1, 1),
+            padding=[pad, pad],
+            input_dilation=(2, 2),
+            dtype=self.dtype,
+        )(x)
+        return y
+
+
+class PixelShuffleUp(nn.Module):
+    """Conv to 4*features then depth-to-space x2 (ELIC up_conv pixel_shuffle path)."""
+    features: int
+    kernel: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.features * 4, self.kernel, dtype=self.dtype)(x)
+        B, H, W, C = y.shape
+        # torch PixelShuffle semantics: channel c*4+(i*2+j) -> spatial (i,j)
+        y = y.reshape(B, H, W, C // 4, 2, 2)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+        return y.reshape(B, H * 2, W * 2, C // 4)
+
+
+def up_conv(features: int, pixel_shuffle: bool, dtype=None) -> nn.Module:
+    """ELIC decoder upsampling conv (ref: elic_autoencoder.py up_conv)."""
+    if pixel_shuffle:
+        return PixelShuffleUp(features, kernel=5, dtype=dtype)
+    return DeconvTorch(features, kernel=5, dtype=dtype)
+
+
+class BottleneckResBlock(nn.Module):
+    """1x1 -> relu -> 3x3 -> relu -> 1x1 residual block (ELIC 'BaseBlock')."""
+    ch: int
+    mid_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.mid_ch, 1, dtype=self.dtype)(x)
+        y = nn.relu(y)
+        y = Conv(self.mid_ch, 3, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = Conv(self.ch, 1, dtype=self.dtype)(y)
+        return x + y
+
+
+class ResidualBottleneckBlocks(nn.Module):
+    """Stack of BottleneckResBlocks, optional outer residual
+    (ref: src/models/layer/elic_layers.py)."""
+    ch: int
+    mid_ch: int
+    num_blocks: int = 3
+    res_in_res: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = x
+        for _ in range(self.num_blocks):
+            y = BottleneckResBlock(self.ch, self.mid_ch, dtype=self.dtype)(y)
+        if self.res_in_res:
+            y = x + y
+        return y
+
+
+class NLAMResBlock(nn.Module):
+    """Half-width 1x1/3x3/1x1 residual block used inside NLAM."""
+    ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.ch // 2
+        y = nn.relu(Conv(mid, 1, dtype=self.dtype)(x))
+        y = nn.relu(Conv(mid, 3, dtype=self.dtype)(y))
+        y = Conv(self.ch, 1, dtype=self.dtype)(y)
+        return x + y
+
+
+class ChengNLAM(nn.Module):
+    """Cheng CVPR2020 simplified attention: x + trunk(x) * sigmoid(conv(attn(x)))
+    (ref: src/models/layer/cheng_nlam.py)."""
+    ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        trunk = x
+        for _ in range(3):
+            trunk = NLAMResBlock(self.ch, dtype=self.dtype)(trunk)
+        attn = x
+        for _ in range(3):
+            attn = NLAMResBlock(self.ch, dtype=self.dtype)(attn)
+        attn = Conv(self.ch, 1, dtype=self.dtype)(attn)
+        gate = nn.sigmoid(attn)
+        return x + trunk * gate
+
+
+def fourier_encode_beta(beta: jnp.ndarray, L: int, max_beta: float,
+                        use_pi: bool = False, include_x: bool = True) -> jnp.ndarray:
+    """Fourier features of a conditioning scalar (ref: src/models/layer/fourier_enc.py).
+
+    beta: [B] in [0, max_beta]. Returns [B, 2L(+1)]:
+    normalized to [-1,1], sin/cos at frequencies 2^0..2^(L-1) (optionally *pi),
+    raw normalized value prepended when include_x.
+    """
+    beta = jnp.asarray(beta, jnp.float32).reshape(-1)
+    nb = (beta / max_beta - 0.5) * 2.0  # [-1, 1]
+    freq = 2.0 ** jnp.arange(L, dtype=jnp.float32)
+    if use_pi:
+        freq = freq * jnp.pi
+    ang = nb[:, None] * freq[None, :]
+    out = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if include_x:
+        out = jnp.concatenate([nb[:, None], out], axis=-1)
+    return jax.lax.stop_gradient(out)
+
+
+class DualBetaCondMLP(nn.Module):
+    """Shared conditioning trunk: Fourier(beta1) ++ Fourier(beta2) -> 2-layer MLP.
+
+    Returns the cond vector [B, cond_ch] consumed by per-layer FiLM modules.
+    """
+    cond_ch: int
+    L: int = 10
+    max_beta_1: float = 3.0
+    max_beta_2: float = 3.5
+    use_pi: bool = False
+    include_x: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, beta_1, beta_2):
+        e1 = fourier_encode_beta(beta_1, self.L, self.max_beta_1,
+                                 self.use_pi, self.include_x)
+        e2 = fourier_encode_beta(beta_2, self.L, self.max_beta_2,
+                                 self.use_pi, self.include_x)
+        cond = jnp.concatenate([e1, e2], axis=-1)
+        cond = nn.Dense(self.cond_ch, dtype=self.dtype)(cond)
+        cond = nn.relu(cond)
+        cond = nn.Dense(self.cond_ch, dtype=self.dtype)(cond)
+        return cond
+
+
+class BetaScaleShift(nn.Module):
+    """FiLM: feat * (1 + scale(cond)) + shift(cond), cond broadcast over H,W
+    (ref: elic_dual_beta_ft_autoencoder.py BetaScaleShiftModule; the reference's
+    1x1 convs on a [1,C,1,1] map are Dense layers here)."""
+    feat_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, feat, cond):
+        # cond: [B, cond_ch] (or [1, cond_ch] broadcast over batch)
+        h = nn.relu(nn.Dense(cond.shape[-1], dtype=self.dtype)(cond))
+        scale = nn.Dense(self.feat_ch, dtype=self.dtype)(h)
+        shift = nn.Dense(self.feat_ch, dtype=self.dtype)(h)
+        scale = scale[:, None, None, :]
+        shift = shift[:, None, None, :]
+        return feat * (1.0 + scale) + shift
+
+
+class GNResBlock(nn.Module):
+    """Pre-activation GroupNorm residual block (femasr/codeformer style,
+    ref: src/models/layer/codeformer_layers.py ResBlock with norm1/norm2).
+
+    act: 'swish' (codeformer) or 'leakyrelu'/'silu' (femasr).
+    """
+    out_ch: int
+    act: str = "swish"
+    dtype: Optional[Dtype] = None
+
+    def _act(self, x):
+        if self.act == "swish" or self.act == "silu":
+            return nn.silu(x)
+        if self.act == "leakyrelu":
+            return nn.leaky_relu(x, 0.2)
+        if self.act == "gelu":
+            return nn.gelu(x)
+        if self.act == "relu":
+            return nn.relu(x)
+        raise ValueError(self.act)
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=num_groups32(in_ch), epsilon=1e-6, dtype=self.dtype)(x)
+        h = self._act(h)
+        h = Conv(self.out_ch, 3, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=num_groups32(self.out_ch), epsilon=1e-6, dtype=self.dtype)(h)
+        h = self._act(h)
+        h = Conv(self.out_ch, 3, dtype=self.dtype)(h)
+        if in_ch != self.out_ch:
+            x = Conv(self.out_ch, 1, dtype=self.dtype)(x)
+        return x + h
+
+
+class FuseSftBlock(nn.Module):
+    """SFT fusion: residual = w * (dec * scale(f) + shift(f)) with
+    f = GNResBlock(concat(cond, dec)) (ref: codeformer_layers.py FuseSftBlock)."""
+    dec_ch: int
+    mid_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, dec_feat, cond_feat, w: float = 1.0):
+        fuse = GNResBlock(self.mid_ch, act="swish", dtype=self.dtype)(
+            jnp.concatenate([cond_feat, dec_feat], axis=-1)
+        )
+        scale = Conv(self.dec_ch, 3, dtype=self.dtype)(fuse)
+        scale = nn.leaky_relu(scale, 0.2)
+        scale = Conv(self.dec_ch, 3, dtype=self.dtype)(scale)
+        shift = Conv(self.dec_ch, 3, dtype=self.dtype)(fuse)
+        shift = nn.leaky_relu(shift, 0.2)
+        shift = Conv(self.dec_ch, 3, dtype=self.dtype)(shift)
+        return dec_feat + w * (dec_feat * scale + shift)
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization (plain JAX; the reference uses the
+    CUDA-backed compressai.layers.GDN in the non-default Balle18/Cheng20
+    variants, ref: src/models/subnet/autoencoder/balle18_autoencoder.py:5).
+
+    y_i = x_i / sqrt(beta_i + sum_j gamma_ij * x_j^2)   (inverse: multiply)
+    Parameters are stored through a sqrt reparameterization with a pedestal so
+    they remain positive under unconstrained optimization.
+    """
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        pedestal = 2.0 ** -18
+        beta_bound = (self.beta_min + pedestal) ** 0.5
+        gamma_bound = pedestal ** 0.5
+
+        beta_raw = self.param(
+            "beta_raw", lambda k: jnp.sqrt(jnp.ones(C) + pedestal))
+        gamma_raw = self.param(
+            "gamma_raw",
+            lambda k: jnp.sqrt(self.gamma_init * jnp.eye(C) + pedestal))
+
+        beta = jnp.square(jnp.maximum(beta_raw, beta_bound)) - pedestal
+        gamma = jnp.square(jnp.maximum(gamma_raw, gamma_bound)) - pedestal
+
+        norm = jnp.einsum("bhwj,ji->bhwi", jnp.square(x), gamma) + beta
+        norm = jnp.sqrt(norm)
+        return x * norm if self.inverse else x / norm

@@ -26,7 +26,10 @@ class Registry:
         self._obj_map[name] = obj
 
     def register(self, obj: Optional[Any] = None, name: Optional[str] = None) -> Callable:
-        """Decorator (``@REG.register()``) or direct call (``REG.register(obj)``)."""
+        """Decorator (``@REG.register()`` / ``@REG.register("Name")``) or
+        direct call (``REG.register(obj)``)."""
+        if isinstance(obj, str):
+            obj, name = None, obj
         if obj is None:
             def deco(fn_or_class: Any) -> Any:
                 self._do_register(name or fn_or_class.__name__, fn_or_class)

@@ -1,0 +1,108 @@
+"""End-to-end codec tests: the compress->bits->decompress round trip must be
+bit-exact on the quantized latents (the reference's commented-out allclose
+check at scripts/compress.py:137-138, made real and strict)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_config
+
+from dc_vic_tpu.codec.container import (
+    HeaderHandler,
+    load_byte_strings,
+    save_byte_strings,
+)
+from dc_vic_tpu.codec.driver import Codec
+from dc_vic_tpu.models import build_comp_model
+
+
+@pytest.fixture(scope="module")
+def codec():
+    spec = build_comp_model(tiny_config())
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (1, 64, 64, 3), minval=-1, maxval=1)
+    beta = jnp.array([1.0])
+    params = jax.jit(
+        lambda r, xx: spec.module.init({"params": r}, xx, beta, beta,
+                                       is_train=False))(rng, x)
+    return Codec(spec, params)
+
+
+def test_header_roundtrip():
+    h = HeaderHandler.encode((768, 512), 17, 3)
+    assert len(h) == 6
+    d = HeaderHandler.decode(h)
+    assert d["img_size"] == (768, 512)
+    assert d["max_sample"] == 17
+    assert d["quality_ind"] == 3
+
+
+def test_container_roundtrip(tmp_path):
+    strings = [b"abc", b"", b"\x00\x01\x02" * 100]
+    p = str(tmp_path / "x.bin")
+    save_byte_strings(p, strings)
+    assert load_byte_strings(p) == strings
+
+
+def test_compress_decompress_bit_exact(codec):
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    res = codec.compress(img, quality_ind=1)
+    assert len(res) == 2
+    for r in res:
+        assert len(r["string_list"]) == 3
+        assert len(r["string_list"][1]) > 0
+        assert len(r["string_list"][2]) > 0
+
+    out = codec.decompress([r["string_list"] for r in res])
+    assert out.shape == img.shape
+    assert np.abs(out).max() <= 1.0
+
+
+def test_decoded_y_hat_matches_encoder(codec):
+    """The decoder-side reconstruction of y_hat must equal the encoder's
+    y_hat bit-exactly — otherwise mu/sigma drift would corrupt the stream."""
+    rng = np.random.default_rng(1)
+    img = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    res = codec.compress(img, quality_ind=0)[0]
+
+    beta_rate, beta_vq = codec.spec.quality_betas(0)
+    H, W = img.shape[1], img.shape[2]
+    # re-run the decode-side latent reconstruction
+    z_strs = [res["string_list"][1]]
+    y_strs = [res["string_list"][2]]
+
+    # decode path up to y_hat (reuse internals)
+    import dc_vic_tpu.codec.driver as drv
+
+    padH = -(-H // codec.model_stride) * codec.model_stride
+    padW = -(-W // codec.model_stride) * codec.model_stride
+    zH, zW = padH // codec.model_stride, padW // codec.model_stride
+    yH, yW = padH // codec.y_stride, padW // codec.y_stride
+    Cz, Cy = codec.module.bottleneck_z, codec.module.bottleneck_y
+
+    from dc_vic_tpu.ops.rans import decode_with_indexes
+    z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
+                             (zH, zW, Cz)).reshape(-1)
+    z_sym = decode_with_indexes(z_strs[0], z_idx1, codec.z_table)
+    z_sym = z_sym.reshape(1, zH, zW, Cz)
+    hyper_out, z_hat = codec._get_jit(("hyper", z_sym.shape),
+                                      codec._hyper_decode_fn)(
+        codec.params, jnp.asarray(z_sym))
+    np.testing.assert_array_equal(np.asarray(z_hat)[0], res["z_hat"])
+
+    y_hat = codec._charm_decode(hyper_out, y_strs, 1, yH, yW, Cy)
+    np.testing.assert_array_equal(np.asarray(y_hat)[0], res["y_hat"])
+
+
+def test_bpp_estimate_matches_actual(codec):
+    """Actual coded bits should be within ~8% of the likelihood estimate."""
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+    res = codec.compress(img, quality_ind=2)[0]
+    actual_bits = 8 * (len(res["string_list"][1]) + len(res["string_list"][2]))
+    pred_bits = (res["pred_y_bpp"] + res["pred_z_bpp"]) * res["num_pixel"]
+    assert actual_bits < pred_bits * 1.08 + 256, (actual_bits, pred_bits)
