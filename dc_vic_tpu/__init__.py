@@ -18,3 +18,20 @@ Layers (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# The axon TPU PJRT plugin force-prepends itself to jax_platforms at import
+# time, silently overriding the standard JAX_PLATFORMS env var. Restore the
+# documented behavior: if the user set JAX_PLATFORMS, honor it.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        if _os.environ.get("JAX_NUM_CPU_DEVICES"):
+            _jax.config.update("jax_num_cpu_devices",
+                               int(_os.environ["JAX_NUM_CPU_DEVICES"]))
+    except Exception:  # already initialized — leave as-is
+        pass

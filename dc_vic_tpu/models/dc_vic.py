@@ -59,6 +59,14 @@ def likelihood_to_bpp(likelihood: jnp.ndarray, num_pixel: int) -> jnp.ndarray:
     return bits / num_pixel
 
 
+def likelihood_to_bpp_per_sample(likelihood: jnp.ndarray,
+                                 pixels_per_image: int) -> jnp.ndarray:
+    """Per-sample bpp [B] (needed for per-sample beta-weighted rate loss,
+    ref: dual_cond_rate_distortion...py:100-108)."""
+    bits = -jnp.sum(jnp.log(likelihood), axis=(1, 2, 3)) / jnp.log(2.0)
+    return bits / pixels_per_image
+
+
 class DCVICModel(nn.Module):
     """Dual-conditioned VQGAN-based image compression model."""
     # subnet configs (yaml `subnet:` subtrees minus the `type:` key)
@@ -247,13 +255,18 @@ class DCVICModel(nn.Module):
 
         vq_acc = jnp.mean((indices == gt_vq_indices).astype(jnp.float32))
         num_pixel = x.shape[0] * x.shape[1] * x.shape[2]
+        ppi = x.shape[1] * x.shape[2]
         bpp = (likelihood_to_bpp(entropy["likelihoods"]["y"], num_pixel)
                + likelihood_to_bpp(entropy["likelihoods"]["z"], num_pixel))
         qbpp = (likelihood_to_bpp(entropy["q_likelihoods"]["y"], num_pixel)
                 + likelihood_to_bpp(entropy["q_likelihoods"]["z"], num_pixel))
+        bpp_per_sample = (
+            likelihood_to_bpp_per_sample(entropy["likelihoods"]["y"], ppi)
+            + likelihood_to_bpp_per_sample(entropy["likelihoods"]["z"], ppi))
 
         return dict(
             fake_images=fake,
+            bpp_per_sample=bpp_per_sample,
             out_vq_latent=pred_embed,
             gt_vq_latent=gt_vq_latent,
             out_vq_logits=logits,

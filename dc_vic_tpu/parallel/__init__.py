@@ -1,0 +1,6 @@
+from .mesh import (
+    data_parallel_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

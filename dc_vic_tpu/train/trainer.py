@@ -1,0 +1,287 @@
+"""Trainers (ref: src/trainer/).
+
+One Trainer class drives the four-stage curriculum; the stage semantics live
+in the step factories (steps.py):
+  RateDistortionVqCodeTrainer            stage1_1 (ref: rate_distortion_vq_code_trainer.py)
+  DualBetaCondRateDistortionVqCodeTrainer stage1_2 (ref: dual_cond_rate_distortion...py)
+  DualBetaCondGanDistortionVqCodeTrainer  stage1_3/3 (ref: dual_cond_gan_distortion...py)
+  DualBetaCondOasisGanDistortionVqFusionTrainer (ref: dual_cond_oasis_gan...py)
+
+The train loop keeps the reference cadence: log every log_step, validate every
+eval_step, save every save_step, NaN-skip in-step (compiled into the graph).
+Data-parallel across chips via parallel.data_parallel_step.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import HostDataLoader, build_dataset
+from ..metrics.image import calc_ms_ssim, calc_psnr
+from ..models import build_comp_model
+from ..models.dc_vic import pad_image
+from ..models.discriminators import build_discriminator
+from ..parallel import data_parallel_step, make_mesh, replicate, shard_batch
+from ..utils import (
+    AvgMeter,
+    CSVLogger,
+    PathHandler,
+    Timer,
+    bolded_log,
+    get_root_logger,
+)
+from ..utils.registry import TRAINER_REGISTRY
+from .losses import build_loss
+from .optim import build_optimizer
+from .saver import Saver
+from .steps import BetaPolicy, TrainState, make_gan_step, make_rd_step
+
+
+class Trainer:
+    """Generic stage trainer; `gan` / `oasis` select the step graph."""
+
+    def __init__(self, opt, gan: bool = False, oasis: bool = False):
+        self.opt = opt
+        self.gan = gan
+        self.oasis = oasis
+        self.logger = get_root_logger()
+        self.paths = PathHandler(opt.get("ckpt_root", "./checkpoint"),
+                                 opt.get("exp", "exp"))
+        self.paths.make_job_dir()
+
+        self.spec = build_comp_model(opt)
+        self.module = self.spec.module
+
+        self.losses = {k: build_loss(v) for k, v in
+                       dict(opt.get("loss") or {}).items()
+                       if isinstance(v, dict) and v.get("type")}
+        self._set_data()
+        self._set_state_and_step()
+        self._set_loggers()
+
+    # ------------------------------------------------------------------
+    def _set_data(self):
+        dcfg = self.opt["dataset"]
+        self.batch_size = dcfg.get("batch_size", 6)
+        self.train_loader = HostDataLoader(
+            build_dataset(dcfg["train_dataset"], is_train=True),
+            self.batch_size, num_workers=8,
+            seed=self.opt.get("seed", 0))
+        self.eval_loader = HostDataLoader(
+            build_dataset(dcfg["eval_dataset"], is_train=False), 1,
+            num_workers=1)
+
+    def _init_params(self, rng):
+        size = self.opt["dataset"]["train_dataset"].get("image_size", 256)
+        x = jnp.zeros((1, size, size, 3), jnp.float32)
+        beta = jnp.array([0.0]) if self.module.use_beta else None
+        if self.module.use_beta:
+            return jax.jit(lambda r: self.module.init(
+                {"params": r}, x, beta, beta, is_train=False))(rng)
+        return jax.jit(lambda r: self.module.init(
+            {"params": r}, x, is_train=False))(rng)
+
+    def _set_state_and_step(self):
+        opt = self.opt
+        optim = opt.get("optim") or {}
+        rng = jax.random.PRNGKey(opt.get("seed", 0))
+        rng, init_rng, d_rng = jax.random.split(rng, 3)
+        params = self._init_params(init_rng)
+
+        clip = optim.get("clip_max_norm")
+        self.g_tx = build_optimizer(optim.get("g_optimizer", {"lr": 1e-4}),
+                                    optim.get("g_scheduler"), clip)
+        self.aux_tx = build_optimizer(optim.get("aux_optimizer", {"lr": 1e-3}),
+                                      None, None)
+
+        model_cfg = dict(opt.get("model") or {})
+        enc_cfg = dict(opt["subnet"]["encoder"])
+        policy = BetaPolicy(
+            use_beta=self.module.use_beta,
+            use_selected_pairs=model_cfg.get("use_selected_beta_pairs", False),
+            selected_beta_rate=tuple(model_cfg.get("selected_beta_rate") or ()),
+            selected_beta_vq=tuple(model_cfg.get("selected_beta_vq") or ()),
+            max_beta_rate=enc_cfg.get("max_beta_1") or 3.0,
+            max_beta_vq=enc_cfg.get("max_beta_2") or 3.5,
+            num_levels=model_cfg.get("num_beta_levels", 100),
+            sample_batch_beta=model_cfg.get("sample_batch_beta", False),
+            weight_type=model_cfg.get("beta_weight_type", "exp"),
+        )
+        self.policy = policy
+
+        d_params = d_opt = None
+        if self.gan:
+            self.disc = build_discriminator(dict(opt["discriminator"]))
+            size = self.opt["dataset"]["train_dataset"].get("image_size", 256)
+            dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+            beta = jnp.array([0.0])
+            d_params = jax.jit(lambda r: self.disc.init(
+                r, dummy, beta, beta))(d_rng)
+            self.d_tx = build_optimizer(optim.get("d_optimizer",
+                                                  optim.get("g_optimizer", {})),
+                                        optim.get("d_scheduler"), clip)
+            d_opt = self.d_tx.init(d_params)
+
+        self.state = TrainState(
+            params=params,
+            g_opt=self.g_tx.init(params),
+            aux_opt=self.aux_tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+            d_params=d_params,
+            d_opt=d_opt,
+        )
+
+        if self.gan:
+            step_fn = make_gan_step(self.module, self.disc, self.losses,
+                                    self.g_tx, self.aux_tx, self.d_tx,
+                                    policy, oasis=self.oasis)
+        else:
+            step_fn = make_rd_step(self.module, self.losses, self.g_tx,
+                                   self.aux_tx, policy)
+
+        from ..parallel.mesh import best_mesh_size
+        self.mesh = make_mesh(best_mesh_size(self.batch_size))
+        self.step_fn = data_parallel_step(step_fn, self.mesh)
+        self.state = replicate(self.state, self.mesh)
+
+        # resume / cross-exp load (ref: base_trainer.py:36-42)
+        if opt.get("load_checkpoint"):
+            self._load_checkpoint(dict(opt["load_checkpoint"]))
+        self.saver = Saver(self.paths.model_dir, opt.get("keep_step") or ())
+
+    def _set_loggers(self):
+        self.loss_csv = CSVLogger(self.paths.loss_csv_path,
+                                  ["iter", "total", "bpp", "distortion"])
+        self.eval_csv = CSVLogger(self.paths.eval_csv_path,
+                                  ["iter", "bpp", "psnr", "ms_ssim", "vq_acc"])
+        self.meter = AvgMeter()
+
+    def _load_checkpoint(self, cfg: Dict):
+        path = cfg.get("path") or cfg.get("load_path")
+        if not path or not os.path.exists(path):
+            self.logger.warning(f"load_checkpoint path missing: {path}")
+            return
+        params = Saver.load(path, jax.device_get(self.state.params))
+        self.state = self.state.replace(params=replicate(params, self.mesh))
+        self.logger.info(f"loaded weights from {path}")
+
+    # ------------------------------------------------------------------
+    def train_loop(self):
+        opt = self.opt
+        total_iter = opt.get("total_iter", 500000)
+        start_iter = opt.get("start_iter", 0)
+        log_step = opt.get("log_step", 100)
+        eval_step = opt.get("eval_step", 10000)
+        save_step = opt.get("save_step", 5000)
+
+        timer = Timer(start_iter, total_iter)
+        data_iter = self.train_loader.infinite()
+        bolded_log(f"training {opt.get('exp')} [{start_iter}..{total_iter}]")
+
+        for itr in range(start_iter + 1, total_iter + 1):
+            batch = next(data_iter)
+            x = shard_batch(jnp.asarray(batch["real_images"]), self.mesh)
+            self.state, metrics = self.step_fn(self.state, x)
+            self.meter.update({k: float(v) for k, v in metrics.items()
+                               if jnp.ndim(v) == 0})
+
+            if itr % log_step == 0:
+                avg = self.meter.pop()
+                stat = timer.get_time_stat(itr)
+                self.logger.info(
+                    f"iter {itr} " +
+                    " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())) +
+                    f" ({stat['time_per_iter']:.3f}s/it eta {stat['eta_hours']:.1f}h)")
+                self.loss_csv.write({"iter": itr, **avg})
+
+            if itr % eval_step == 0:
+                self.validate(itr)
+
+            if itr % save_step == 0:
+                self.save(itr)
+
+    # ------------------------------------------------------------------
+    def validate(self, itr: int, max_samples: int = 24):
+        """Kodak bpp/PSNR/MS-SSIM/vq_acc at mid betas (ref:
+        hyperprior_dc_vic_model.py validation; beta defaults max/2)."""
+        params = self.state.params
+        beta_r = jnp.array([self.policy.max_beta_rate / 2.0])
+        beta_v = jnp.array([self.policy.max_beta_vq / 2.0])
+        rows = []
+        fwd = self._jit_eval_fwd()
+        for i, batch in enumerate(self.eval_loader.eval_batches()):
+            if i >= max_samples:
+                break
+            x = pad_image(jnp.asarray(batch["real_images"]))
+            out = fwd(params, x, beta_r, beta_v) if self.module.use_beta \
+                else fwd(params, x)
+            H, W = batch["real_images"].shape[1:3]
+            fake = np.asarray(out["fake_images"])[:, :H, :W]
+            real = batch["real_images"]
+            rows.append(dict(
+                bpp=float(out["qbpp"]),
+                psnr=calc_psnr(real, fake),
+                ms_ssim=calc_ms_ssim(real, fake),
+                vq_acc=float(out["vq_accuracy"]),
+            ))
+        avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} \
+            if rows else {}
+        self.logger.info(f"[eval iter {itr}] " +
+                         " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+        self.eval_csv.write({"iter": itr, **avg})
+        return avg
+
+    _eval_fwd_cache: Optional[Any] = None
+
+    def _jit_eval_fwd(self):
+        if self._eval_fwd_cache is None:
+            if self.module.use_beta:
+                self._eval_fwd_cache = jax.jit(
+                    lambda p, x, b1, b2: self.module.apply(
+                        p, x, b1, b2, is_train=False))
+            else:
+                self._eval_fwd_cache = jax.jit(
+                    lambda p, x: self.module.apply(p, x, is_train=False))
+        return self._eval_fwd_cache
+
+    def save(self, itr: int):
+        host_state = jax.device_get(self.state)
+        tree = {"comp_model": host_state.params,
+                "training_state": {"g_opt": host_state.g_opt,
+                                   "aux_opt": host_state.aux_opt,
+                                   "step": host_state.step}}
+        if self.gan and self.opt.get("keep_discriminator", False):
+            tree["discriminator"] = host_state.d_params
+        paths = self.saver.save(tree, itr)
+        self.logger.info(f"saved checkpoint at iter {itr}: {paths[0]}")
+
+
+@TRAINER_REGISTRY.register()
+def RateDistortionVqCodeTrainer(opt):
+    return Trainer(opt, gan=False)
+
+
+@TRAINER_REGISTRY.register()
+def DualBetaCondRateDistortionVqCodeTrainer(opt):
+    return Trainer(opt, gan=False)
+
+
+@TRAINER_REGISTRY.register()
+def DualBetaCondGanDistortionVqCodeTrainer(opt):
+    return Trainer(opt, gan=True)
+
+
+@TRAINER_REGISTRY.register()
+def DualBetaCondOasisGanDistortionVqFusionTrainer(opt):
+    return Trainer(opt, gan=True, oasis=True)
+
+
+def build_trainer(opt) -> Trainer:
+    """(ref: src/trainer/__init__.py:10-20)"""
+    ttype = opt["trainer"]["type"]
+    return TRAINER_REGISTRY.get(ttype)(opt)

@@ -1,0 +1,147 @@
+"""Compress (and optionally decompress) a directory of PNGs — the benchmark
+path (ref: scripts/compress.py, CLI-compatible flags and outputs:
+per-image .bin / .png, _bitrates.csv, _avg_bitrate.json).
+
+TPU-first addition: images are grouped into identical-resolution buckets and
+batched per bucket, so each padded shape compiles once and the chip runs full
+batches (--batch_size).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+from collections import defaultdict
+from glob import glob
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dc_vic_tpu.codec.container import load_byte_strings, save_byte_strings
+from dc_vic_tpu.codec.driver import Codec
+from dc_vic_tpu.models import build_comp_model
+from dc_vic_tpu.train.saver import Saver
+from dc_vic_tpu.utils.config import load_config
+from dc_vic_tpu.utils.logger import get_root_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", type=str, required=True)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="checkpoint (.ckpt flax msgpack or .pth.tar torch)")
+    p.add_argument("--img_dir", type=str, required=True)
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("-q", "--quality", type=int, required=True)
+    p.add_argument("--decompress", action="store_true")
+    p.add_argument("--batch_size", type=int, default=1)
+    return p.parse_args()
+
+
+def load_image(path: str) -> np.ndarray:
+    x = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return (x - 0.5) * 2.0
+
+
+def save_image(path: str, img: np.ndarray) -> None:
+    x = np.round((np.clip(img, -1, 1) / 2 + 0.5) * 255).astype(np.uint8)
+    Image.fromarray(x).save(path)
+
+
+def init_params(spec, model_path):
+    import jax
+    import jax.numpy as jnp
+
+    module = spec.module
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    b = jnp.array([0.0]) if module.use_beta else None
+    if module.use_beta:
+        init = lambda r: module.init({"params": r}, x, b, b, is_train=False)
+    else:
+        init = lambda r: module.init({"params": r}, x, is_train=False)
+
+    if model_path and model_path.endswith((".pth", ".pth.tar", ".ckpt.torch")):
+        from dc_vic_tpu.models.convert import load_torch_comp_model
+        template = jax.eval_shape(init, jax.random.PRNGKey(0))
+        return load_torch_comp_model(model_path, template, spec)
+    params = jax.jit(init)(jax.random.PRNGKey(0))
+    if model_path:
+        params = Saver.load(model_path, jax.device_get(params))
+    return params
+
+
+def main():
+    args = parse_args()
+    opt = load_config(args.config_path)
+    logger = get_root_logger()
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    paths = sorted(glob(os.path.join(args.img_dir, "*.png")))
+    if not paths:
+        raise SystemExit(f"no .png files in {args.img_dir}")
+
+    spec = build_comp_model(opt)
+    params = init_params(spec, args.model_path)
+    codec = Codec(spec, params)
+
+    # resolution buckets -> batched encode per bucket
+    buckets = defaultdict(list)
+    for p in paths:
+        with Image.open(p) as im:
+            buckets[im.size].append(p)
+
+    rows = []
+    for size, bucket_paths in buckets.items():
+        bs = max(1, args.batch_size)
+        for i in range(0, len(bucket_paths), bs):
+            chunk = bucket_paths[i:i + bs]
+            imgs = np.stack([load_image(p) for p in chunk])
+            results = codec.compress(imgs, quality_ind=args.quality)
+            H, W = imgs.shape[1], imgs.shape[2]
+
+            bin_paths = []
+            for p, r in zip(chunk, results):
+                name = os.path.basename(p)
+                bin_path = os.path.join(args.save_dir,
+                                        name.replace(".png", ".bin"))
+                save_byte_strings(bin_path, r["string_list"])
+                bin_paths.append(bin_path)
+                nbytes = os.path.getsize(bin_path)
+                sl = r["string_list"]
+                rows.append({
+                    "img_name": name,
+                    "header_bit": len(sl[0]) * 8,
+                    "z_bit": len(sl[1]) * 8,
+                    "y_bit": len(sl[2]) * 8,
+                    "real_bit": nbytes * 8,
+                    "real_bpp": nbytes * 8 / (H * W),
+                    "pred_bpp": r["pred_y_bpp"] + r["pred_z_bpp"],
+                    "num_pixel": H * W,
+                })
+                logger.info(f"{name}: {nbytes * 8 / (H*W):.5f} bpp")
+
+            if args.decompress:
+                strings = [load_byte_strings(bp) for bp in bin_paths]
+                fakes = codec.decompress(strings)
+                for p, fake in zip(chunk, fakes):
+                    save_image(os.path.join(args.save_dir,
+                                            os.path.basename(p)), fake)
+
+    csv_path = os.path.join(args.save_dir, "_bitrates.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    avg_bpp = float(np.mean([r["real_bpp"] for r in rows]))
+    with open(os.path.join(args.save_dir, "_avg_bitrate.json"), "w") as f:
+        json.dump({"avg_bpp": avg_bpp}, f)
+    logger.info(f"avg_bpp: {avg_bpp:.5f}")
+
+
+if __name__ == "__main__":
+    main()

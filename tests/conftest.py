@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 # Persistent compilation cache makes repeated test runs fast.
 import jax  # noqa: E402
 
+# The axon TPU plugin force-prepends itself to jax_platforms, ignoring the
+# JAX_PLATFORMS env var — override via jax.config so tests run on a virtual
+# 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,157 @@
+"""Training step tests: loss decreases machinery, masking rules, GAN step,
+data-parallel execution over the virtual 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from helpers import tiny_config
+
+from dc_vic_tpu.models import build_comp_model
+from dc_vic_tpu.models.discriminators import DualBetaCondTamingNLayerDiscriminator
+from dc_vic_tpu.parallel import data_parallel_step, make_mesh, replicate, shard_batch
+from dc_vic_tpu.train.losses import build_loss
+from dc_vic_tpu.train.optim import aux_mask, build_optimizer, main_mask
+from dc_vic_tpu.train.steps import BetaPolicy, TrainState, make_gan_step, make_rd_step
+
+LOSSES = {
+    "rate_loss": {"type": "RateLoss", "loss_weight": 0.04},
+    "distortion_loss": {"type": "MSELoss", "loss_weight": 50,
+                        "normalize_img": True, "mse_scale": "0_1"},
+    "code_distortion_loss": {"type": "VanillaMSELoss", "loss_weight": 0.1},
+    "code_ce_loss": {"type": "FocalCrossEntropyLoss", "gamma": 2.0,
+                     "loss_weight": 0.05},
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = build_comp_model(tiny_config())
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (8, 64, 64, 3), minval=-1, maxval=1)
+    beta = jnp.array([1.0])
+    params = jax.jit(
+        lambda r: spec.module.init({"params": r}, x[:2], beta, beta,
+                                   is_train=False))(rng)
+    return spec, params, x
+
+
+def _masks_flat(mask):
+    return traverse_util.flatten_dict(mask)
+
+
+def test_mask_rules(setup):
+    spec, params, _ = setup
+    gm = _masks_flat(main_mask(params["params"]))
+    am = _masks_flat(aux_mask(params["params"]))
+    gm_gan = _masks_flat(main_mask(params["params"], gan_stage=True))
+
+    # frozen prior never trains
+    assert not any(v for k, v in gm.items() if k[0] == "vq_model")
+    assert not any(v for k, v in gm.items()
+                   if k[0] == "fused_decoder" and not k[1].startswith("fusion_"))
+    # fusion blocks do train
+    assert any(v for k, v in gm.items()
+               if k[0] == "fused_decoder" and k[1].startswith("fusion_"))
+    # quantiles only in aux
+    assert all((k[-1] == "quantiles") == v for k, v in am.items())
+    assert not any(v for k, v in gm.items() if k[-1] == "quantiles")
+    # GAN stage: encoder/hyper/context frozen, decoder+estimator train
+    assert not any(v for k, v in gm_gan.items()
+                   if k[0] in ("encoder", "hyperencoder", "hyperdecoder",
+                               "context_model", "entropy_z"))
+    assert any(v for k, v in gm_gan.items() if k[0] == "decoder")
+    assert any(v for k, v in gm_gan.items() if k[0] == "vq_estimator")
+
+
+def _make_state(spec, params, rng, d_params=None, d_tx=None):
+    g_tx = build_optimizer({"type": "Adam", "lr": 1e-4},
+                           {"type": "LinearWarmupScheduler",
+                            "warmup_iters": 10}, 1.0)
+    aux_tx = build_optimizer({"type": "Adam", "lr": 1e-3})
+    state = TrainState(params=params, g_opt=g_tx.init(params),
+                       aux_opt=aux_tx.init(params),
+                       step=jnp.zeros((), jnp.int32), rng=rng,
+                       d_params=d_params,
+                       d_opt=d_tx.init(d_params) if d_tx else None)
+    return state, g_tx, aux_tx
+
+
+def test_rd_step_updates(setup):
+    spec, params, x = setup
+    losses = {k: build_loss(v) for k, v in LOSSES.items()}
+    policy = BetaPolicy(use_beta=True, max_beta_rate=3.0, max_beta_vq=3.5,
+                        sample_batch_beta=True)
+    state, g_tx, aux_tx = _make_state(spec, params, jax.random.PRNGKey(1))
+    step = jax.jit(make_rd_step(spec.module, losses, g_tx, aux_tx, policy))
+
+    s1, m1 = step(state, x[:2])
+    s2, m2 = step(s1, x[2:4])
+    assert float(m1["skipped"]) == 0.0
+    assert np.isfinite(float(m1["total"]))
+    assert int(s2.step) == 2
+    # encoder params changed, frozen prior unchanged
+    flat0 = traverse_util.flatten_dict(params["params"])
+    flat2 = traverse_util.flatten_dict(jax.device_get(s2.params)["params"])
+    enc_changed = any(
+        not np.allclose(flat0[k], flat2[k])
+        for k in flat0 if k[0] == "encoder")
+    vq_changed = any(
+        not np.array_equal(flat0[k], flat2[k])
+        for k in flat0 if k[0] == "vq_model")
+    quant_changed = any(
+        not np.array_equal(flat0[k], flat2[k])
+        for k in flat0 if k[-1] == "quantiles")
+    assert enc_changed
+    assert not vq_changed
+    assert quant_changed  # aux optimizer moved the quantiles
+
+
+def test_gan_step(setup):
+    spec, params, x = setup
+    losses = {k: build_loss(v) for k, v in LOSSES.items() if k != "rate_loss"}
+    losses["gan_loss"] = build_loss({"type": "VanillaGANLoss",
+                                     "loss_weight": 0.01})
+    policy = BetaPolicy(use_beta=True)
+    disc = DualBetaCondTamingNLayerDiscriminator(
+        ndf=8, n_layers=2, cond_ch=4, L=4, norm_type="none")
+    d_rng = jax.random.PRNGKey(7)
+    d_params = jax.jit(lambda r: disc.init(
+        r, x[:2], jnp.array([1.0]), jnp.array([1.0])))(d_rng)
+    d_tx = build_optimizer({"type": "Adam", "lr": 1e-4})
+
+    state, g_tx, aux_tx = _make_state(spec, params, jax.random.PRNGKey(2),
+                                      d_params, d_tx)
+    step = jax.jit(make_gan_step(spec.module, disc, losses, g_tx, aux_tx,
+                                 d_tx, policy))
+    s1, m1 = step(state, x[:2])
+    assert np.isfinite(float(m1["total"]))
+    assert np.isfinite(float(m1["d_loss"]))
+    assert float(m1["skipped"]) == 0.0
+
+    flat0 = traverse_util.flatten_dict(params["params"])
+    flat1 = traverse_util.flatten_dict(jax.device_get(s1.params)["params"])
+    # GAN stage: encoder frozen, decoder trains
+    assert all(np.array_equal(flat0[k], flat1[k])
+               for k in flat0 if k[0] == "encoder")
+    assert any(not np.allclose(flat0[k], flat1[k])
+               for k in flat0 if k[0] == "decoder")
+
+
+def test_data_parallel_rd_step(setup):
+    """The full training step must compile and run sharded over 8 devices."""
+    spec, params, x = setup
+    assert jax.device_count() >= 8
+    losses = {k: build_loss(v) for k, v in LOSSES.items()}
+    policy = BetaPolicy(use_beta=True)
+    state, g_tx, aux_tx = _make_state(spec, params, jax.random.PRNGKey(3))
+    step = make_rd_step(spec.module, losses, g_tx, aux_tx, policy)
+
+    mesh = make_mesh(8)
+    pstep = data_parallel_step(step, mesh)
+    state = replicate(state, mesh)
+    batch = shard_batch(x, mesh)  # 8 images over 8 devices
+    s1, m1 = pstep(state, batch)
+    assert np.isfinite(float(m1["total"]))
+    assert int(s1.step) == 1
