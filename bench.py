@@ -24,9 +24,19 @@ H, W = 768, 512
 TARGET = 20.0
 
 
+def enable_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    enable_cache()
 
     from dc_vic_tpu.codec.driver import Codec
     from dc_vic_tpu.models import build_comp_model

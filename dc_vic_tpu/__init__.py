@@ -24,7 +24,8 @@ __version__ = "0.1.0"
 # documented behavior: if the user set JAX_PLATFORMS, honor it.
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+if (_os.environ.get("JAX_PLATFORMS")
+        and "axon" not in _os.environ["JAX_PLATFORMS"]):
     import jax as _jax
 
     try:

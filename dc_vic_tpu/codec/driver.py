@@ -6,20 +6,21 @@ hyperprior_charm_dc_vic_model.py:62-91):
 
   * The reference moves entropy models + hyperdecoder + context model to the
     CPU and interleaves torch convs with rANS calls. Here ALL transforms stay
-    on device as a handful of jitted graphs; only int32 symbol/index planes
-    cross the host boundary, and the host does pure rANS byte work in C++.
-  * Encode is ONE device graph (transforms + quantization + CDF indexes for
-    the whole ChARM slice chain) + one host rANS pass.
-  * The ChARM decode is inherently sequential across slices: per slice, one
-    device call predicts (mu, indexes), the host rANS-decodes that slice's
-    symbols, one device call reconstructs the slice (LRP). Batched across
-    images to amortize the 6 round-trips.
+    on device as a handful of jitted graphs; the host does pure rANS byte
+    work in C++.
+  * Host<->device traffic is minimized for the tunnel-latency regime: encode
+    emits int16 symbols + uint8 CDF indexes + scalar stats (~0.9 MB/image);
+    decode returns uint8 pixels; per-image rate stats are device scalars.
+  * Encode is ONE device graph. The ChARM decode is inherently sequential
+    across slices: ONE fused device call per slice (reconstruct slice i +
+    predict slice i+1's mu/indexes), batched across images.
   * jit caches are keyed by padded shape buckets, so a resolution sweep
     compiles once per bucket.
 """
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import CompModelSpec
-from ..models.dc_vic import STRIDE, likelihood_to_bpp
+from ..models.dc_vic import STRIDE
 from ..ops.rans import (
     CdfTable,
     RansDecoder,
@@ -36,7 +37,7 @@ from ..ops.rans import (
 )
 from .bottleneck import EntropyBottleneck, build_bottleneck_cdf
 from .container import HeaderHandler
-from .gaussian import get_scale_table
+from .gaussian import GaussianConditional, get_scale_table
 
 
 def _pad_np(x: np.ndarray, stride: int = STRIDE) -> np.ndarray:
@@ -55,17 +56,19 @@ class Codec:
         self.spec = spec
         self.module = spec.module
         self.params = params
-        # architecture constants (ref probes these with a dummy run,
-        # hyperprior_dc_vic_model.py:75-89; they are static here: 4 stride-2
-        # convs in the encoder, 2 in the hyperencoder)
+        # architecture constants (the reference probes these with a dummy run,
+        # hyperprior_dc_vic_model.py:75-89; static here: 4 stride-2 convs in
+        # the encoder, 2 in the hyperencoder)
         self.y_stride = 16
         self.model_stride = 64
         self._setup_tables()
         self._jit = {}
+        # Per-image rANS byte work is independent; the C calls release the
+        # GIL, so a thread pool parallelizes the host codec across images.
+        self._pool = ThreadPoolExecutor(max_workers=16)
 
     # ------------------------------------------------------------------
     def _setup_tables(self):
-        from .gaussian import GaussianConditional
         eb = EntropyBottleneck(self.module.bottleneck_z)
         z_params = {"params": self.params["params"]["entropy_z"]}
         self.z_table: CdfTable = build_bottleneck_cdf(eb, z_params)
@@ -80,10 +83,11 @@ class Codec:
         return self._jit[key]
 
     # ------------------------------------------------------------------
-    def _encode_fn(self):
+    def _encode_fn(self, include_latents: bool):
         def f(params, x, b1, b2):
-            return self.module.apply(params, x, b1, b2,
-                                     method=self.module.encode_deterministic)
+            return self.module.apply(
+                params, x, b1, b2, include_latents=include_latents,
+                method=self.module.encode_deterministic)
         return jax.jit(f)
 
     def _hyper_decode_fn(self):
@@ -94,17 +98,13 @@ class Codec:
         return jax.jit(lambda p, ho, prev: self.module.apply(
             p, i, ho, prev, method=self.module.charm_slice_params))
 
-    def _slice_recon_fn(self, i):
+    def _slice_step_fn(self, i):
         return jax.jit(lambda p, ho, prev, sym, mu: self.module.apply(
-            p, i, ho, prev, sym, mu,
-            method=self.module.charm_slice_reconstruct))
+            p, i, ho, prev, sym, mu, method=self.module.charm_decode_step))
 
     def _recon_fn(self):
-        def f(params, y_hat, b1, b2):
-            fake, *_ = self.module.apply(
-                params, y_hat, b1, b2, method=self.module.decode_from_y_hat)
-            return fake
-        return jax.jit(f)
+        return jax.jit(lambda p, y_hat, b1, b2: self.module.apply(
+            p, y_hat, b1, b2, method=self.module.reconstruct_uint8))
 
     def _y_indexes_fn(self):
         return jax.jit(lambda p, sigma: self.module.apply(
@@ -113,9 +113,11 @@ class Codec:
     # ------------------------------------------------------------------
     def compress(self, images: np.ndarray, quality_ind: Optional[int] = None,
                  beta_rate: Optional[float] = None,
-                 beta_vq: Optional[float] = None) -> List[Dict]:
+                 beta_vq: Optional[float] = None,
+                 debug: bool = False) -> List[Dict]:
         """images: [B, H, W, 3] float in [-1, 1] (unpadded). Returns one dict
-        per image with string_list [header, z_str, y_str] + rate stats."""
+        per image with string_list [header, z_str, y_str] + rate stats.
+        debug=True additionally returns y_hat/z_hat for parity checks."""
         if quality_ind is not None:
             beta_rate, beta_vq = self.spec.quality_betas(quality_ind)
         else:
@@ -124,55 +126,62 @@ class Codec:
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         x = _pad_np(np.asarray(images, np.float32))
 
-        enc = self._get_jit(("enc", x.shape), self._encode_fn)
+        enc = self._get_jit(("enc", x.shape, debug),
+                            lambda: self._encode_fn(debug))
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
         out = enc(self.params, jnp.asarray(x), b1, b2)
 
-        z_sym = np.asarray(out["z_symbols"])
-        y_sym = np.asarray(out["y_symbols"])
-        y_idx = np.asarray(out["y_indexes"])
-        max_abs_y = int(np.abs(np.asarray(out["y_hat"])).max())
+        z_sym = np.asarray(out["z_symbols"], np.int32)
+        y_sym = np.asarray(out["y_symbols"], np.int32)
+        y_idx = np.asarray(out["y_indexes"], np.int32)
+        y_bits = np.asarray(out["y_bits"])
+        z_bits = np.asarray(out["z_bits"])
+        max_abs_y = int(np.asarray(out["max_abs_y"]))
 
         Cz = z_sym.shape[-1]
         z_idx1 = np.broadcast_to(
             np.arange(Cz, dtype=np.int32), z_sym.shape[1:]).reshape(-1)
 
-        num_pixel = H * W
-        y_bpp = float(likelihood_to_bpp(out["y_likelihood"], B * num_pixel))
-        z_bpp = float(likelihood_to_bpp(out["z_likelihood"], B * num_pixel))
-
         if self.module.use_charm:
             # The per-slice decode reads each slice's symbols contiguously:
             # reorder [H, W, C] -> [slice, H, W, slice_ch] before flattening.
             sc = y_sym.shape[-1] // self.num_slices
+
             def slice_major(a):
-                h, w, c = a.shape[1], a.shape[2], a.shape[3]
+                h, w = a.shape[1], a.shape[2]
                 return (a.reshape(B, h, w, self.num_slices, sc)
                          .transpose(0, 3, 1, 2, 4).reshape(B, -1))
             y_sym = slice_major(y_sym)
             y_idx = slice_major(y_idx)
 
+        num_pixel = H * W
+        z_futs = [self._pool.submit(encode_with_indexes, z_sym[b].reshape(-1),
+                                    z_idx1, self.z_table) for b in range(B)]
+        y_futs = [self._pool.submit(encode_with_indexes, y_sym[b].reshape(-1),
+                                    y_idx[b].reshape(-1), self.y_table)
+                  for b in range(B)]
         results = []
         for b in range(B):
-            z_str = encode_with_indexes(z_sym[b].reshape(-1), z_idx1,
-                                        self.z_table)
-            y_str = encode_with_indexes(y_sym[b].reshape(-1),
-                                        y_idx[b].reshape(-1), self.y_table)
+            z_str = z_futs[b].result()
+            y_str = y_futs[b].result()
             header = HeaderHandler.encode((H, W), max_abs_y, quality_ind)
-            results.append(dict(
+            r = dict(
                 string_list=[header, z_str, y_str],
-                pred_y_bpp=y_bpp, pred_z_bpp=z_bpp,
-                y_hat=np.asarray(out["y_hat"][b]),
-                z_hat=np.asarray(out["z_hat"][b]),
+                pred_y_bpp=float(y_bits[b]) / num_pixel,
+                pred_z_bpp=float(z_bits[b]) / num_pixel,
                 num_pixel=num_pixel,
-            ))
+            )
+            if debug:
+                r["y_hat"] = np.asarray(out["y_hat"][b])
+                r["z_hat"] = np.asarray(out["z_hat"][b])
+            results.append(r)
         return results
 
     # ------------------------------------------------------------------
     def decompress(self, string_lists: List[List[bytes]]) -> np.ndarray:
         """Batched decode of same-resolution, same-quality bitstreams.
-        Returns images [B, H, W, 3] float32 in [-1, 1]."""
+        Returns images [B, H, W, 3] uint8."""
         headers = [HeaderHandler.decode(s[0]) for s in string_lists]
         H, W = headers[0]["img_size"]
         q = headers[0]["quality_ind"]
@@ -195,12 +204,12 @@ class Codec:
         Cz = self.module.bottleneck_z
         Cy = self.module.bottleneck_y
 
-        # z: factorized decode, one shot per image
+        # z: factorized decode, one shot per image (parallel across images)
         z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
                                  (zH, zW, Cz)).reshape(-1)
-        z_sym = np.stack([
-            decode_with_indexes(s, z_idx1, self.z_table).reshape(zH, zW, Cz)
-            for s in z_strs])
+        z_sym = np.stack(list(self._pool.map(
+            lambda s: decode_with_indexes(s, z_idx1, self.z_table)
+            .reshape(zH, zW, Cz), z_strs))).astype(np.int16)
 
         hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
                               self._hyper_decode_fn)
@@ -214,7 +223,8 @@ class Codec:
         else:
             means, sigma = np.split(np.asarray(hyper_out), 2, axis=-1)
             yidx_fn = self._get_jit(("yidx", sigma.shape), self._y_indexes_fn)
-            idx = np.asarray(yidx_fn(self.params, jnp.asarray(sigma)))
+            idx = np.asarray(yidx_fn(self.params, jnp.asarray(sigma)),
+                             np.int32)
             sym = np.stack([
                 decode_with_indexes(s, idx[b].reshape(-1), self.y_table)
                 .reshape(yH, yW, Cy)
@@ -223,26 +233,26 @@ class Codec:
 
         recon = self._get_jit(("recon", (B, yH, yW, Cy)), self._recon_fn)
         fake = recon(self.params, y_hat, b1, b2)
-        fake = np.asarray(fake)[:, :H, :W, :]
-        return np.clip(fake, -1.0, 1.0)
+        return np.asarray(fake)[:, :H, :W, :]
 
     def _charm_decode(self, hyper_out, y_strs: List[bytes], B, yH, yW, Cy):
+        """Per-slice sequential decode: one fused device call per slice."""
         slice_ch = Cy // self.num_slices
         decoders = [RansDecoder(s) for s in y_strs]
         y_hat_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
 
+        p0 = self._get_jit(("slice_p", 0, (B, yH, yW)),
+                           lambda: self._slice_params_fn(0))
+        mu, idx = p0(self.params, hyper_out, y_hat_prev)
+
         for i in range(self.num_slices):
-            pf = self._get_jit(("slice_p", i, (B, yH, yW)),
-                               lambda i=i: self._slice_params_fn(i))
-            mu, idx = pf(self.params, hyper_out, y_hat_prev)
-            idx_np = np.asarray(idx)
-            sym = np.stack([
-                decoders[b].decode_stream(idx_np[b].reshape(-1), self.y_table)
-                .reshape(yH, yW, slice_ch)
-                for b in range(B)])
-            rf = self._get_jit(("slice_r", i, (B, yH, yW)),
-                               lambda i=i: self._slice_recon_fn(i))
-            y_hat_slice = rf(self.params, hyper_out, y_hat_prev,
-                             jnp.asarray(sym), mu)
-            y_hat_prev = jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+            idx_np = np.asarray(idx, np.int32)
+            sym = np.stack(list(self._pool.map(
+                lambda b: decoders[b]
+                .decode_stream(idx_np[b].reshape(-1), self.y_table)
+                .reshape(yH, yW, slice_ch), range(B)))).astype(np.int16)
+            sf = self._get_jit(("slice_s", i, (B, yH, yW)),
+                               lambda i=i: self._slice_step_fn(i))
+            y_hat_prev, mu, idx = sf(self.params, hyper_out, y_hat_prev,
+                                     jnp.asarray(sym), mu)
         return y_hat_prev

@@ -80,12 +80,15 @@ class GaussianConditional:
         return symbols.astype(means.dtype) + means
 
     def build_indexes(self, scales, scale_table: np.ndarray) -> jnp.ndarray:
-        """Index of the smallest table scale >= scale (after bounding)."""
+        """Index of the smallest table scale >= scale (after bounding).
+
+        Equivalent to counting table entries strictly below each scale
+        (compressai semantics), computed as a binary search instead of a
+        [..., len(table)] broadcast-compare (which materializes a tensor 64x
+        the latent and dominated the encode graph)."""
         scales = jnp.maximum(scales, self.scale_bound)
-        table = jnp.asarray(scale_table, scales.dtype)
-        indexes = jnp.full(scales.shape, len(scale_table) - 1, jnp.int32)
-        indexes -= jnp.sum(scales[..., None] <= table[:-1], axis=-1).astype(jnp.int32)
-        return indexes
+        table = jnp.asarray(scale_table[:-1], scales.dtype)
+        return jnp.searchsorted(table, scales, side="left").astype(jnp.int32)
 
     # --- offline table building ------------------------------------------------
     def build_cdf_table(self, scale_table: Optional[np.ndarray] = None) -> CdfTable:

@@ -278,11 +278,16 @@ class DCVICModel(nn.Module):
         )
 
     # --------------------------------------------------- codec-side graphs
-    def encode_deterministic(self, x, beta_rate, beta_vq) -> Dict:
-        """Jittable encode: image -> z symbols + y symbols + sigma (for CDF
-        indexes). Everything the host rANS encoder needs, in one graph
-        (ref: compress at hyperprior_dc_vic_model.py:330-376, restructured so
-        only int32 symbol planes cross to the host)."""
+    def encode_deterministic(self, x, beta_rate, beta_vq,
+                             include_latents: bool = False) -> Dict:
+        """Jittable encode: image -> compact symbol planes + scalar stats.
+
+        Host-transfer budget is the lever on this hardware (d2h ~30 MB/s with
+        a ~30 ms sync floor), so the graph emits int16 symbols, uint8 CDF
+        indexes, and per-image scalar bit estimates — ~0.9 MB/image instead of
+        ~12 MB. include_latents=True additionally returns y_hat/z_hat for
+        round-trip verification (ref parity hook: scripts/compress.py:137-138).
+        """
         gt_vq_latent, gt_vq_indices = self.vq_encode(x)
         y = self.comp_encode(x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq)
         z = self.hyperencoder(y)
@@ -300,30 +305,61 @@ class DCVICModel(nn.Module):
             _, y_lik = self.gaussian(y, hyper_out, is_train=False)
 
         _, z_lik = self.entropy_z(z, is_train=False)
-        return dict(z_symbols=z_sym, y_symbols=y_sym, sigma=sigma,
-                    y_indexes=self.y_indexes(sigma),
-                    y_hat=y_hat, z_hat=z_hat, y_likelihood=y_lik,
-                    z_likelihood=z_lik)
+        ln2 = jnp.log(2.0)
+        out = dict(
+            z_symbols=jnp.clip(z_sym, -32000, 32000).astype(jnp.int16),
+            y_symbols=jnp.clip(y_sym, -32000, 32000).astype(jnp.int16),
+            y_indexes=self.y_indexes(sigma).astype(jnp.uint8),
+            y_bits=-jnp.sum(jnp.log(y_lik), axis=(1, 2, 3)) / ln2,
+            z_bits=-jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / ln2,
+            max_abs_y=jnp.max(jnp.abs(y_hat)),
+        )
+        if include_latents:
+            out.update(y_hat=y_hat, z_hat=z_hat)
+        return out
 
     def hyper_decode(self, z_symbols):
         """z symbols -> hyper_out (decode side, jittable)."""
-        z_hat = self.entropy_z.dequantize(z_symbols)
+        z_hat = self.entropy_z.dequantize(z_symbols.astype(jnp.int32))
         return self.hyperdecoder(z_hat), z_hat
 
     def charm_slice_params(self, slice_ind: int, hyper_out, y_hat_prev):
         """Decode-side: (mu, cdf indexes) for one slice."""
         mu, sigma = self.context_model.slice_params(
             slice_ind, hyper_out, y_hat_prev)
-        return mu, self.y_indexes(sigma)
+        return mu, self.y_indexes(sigma).astype(jnp.uint8)
 
     def charm_slice_reconstruct(self, slice_ind: int, hyper_out, y_hat_prev,
                                 symbols, mu):
         return self.context_model.slice_reconstruct(
-            slice_ind, hyper_out, y_hat_prev, symbols, mu)
+            slice_ind, hyper_out, y_hat_prev, symbols.astype(jnp.int32), mu)
+
+    def charm_decode_step(self, slice_ind: int, hyper_out, y_hat_prev,
+                          symbols, mu):
+        """Fused decode step: reconstruct slice `slice_ind` from its decoded
+        symbols AND predict (mu, indexes) for slice `slice_ind`+1 — one device
+        round-trip per slice instead of two."""
+        y_hat_slice = self.context_model.slice_reconstruct(
+            slice_ind, hyper_out, y_hat_prev, symbols.astype(jnp.int32), mu)
+        y_hat_prev = jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+        num_slices = self.context_model.num_slices
+        if slice_ind + 1 >= num_slices:
+            return y_hat_prev, None, None
+        mu_next, sigma_next = self.context_model.slice_params(
+            slice_ind + 1, hyper_out, y_hat_prev)
+        return (y_hat_prev, mu_next,
+                self.y_indexes(sigma_next).astype(jnp.uint8))
 
     def y_indexes(self, sigma):
         from ..codec.gaussian import get_scale_table
         return self.gaussian.build_indexes(sigma, get_scale_table())
+
+    def reconstruct_uint8(self, y_hat, beta_rate=None, beta_vq=None,
+                          w: float = 1.0):
+        """y_hat -> uint8 image on device (saves 4x on the d2h transfer)."""
+        fake, *_ = self.decode_from_y_hat(y_hat, beta_rate, beta_vq, w=w)
+        fake = jnp.clip(fake, -1.0, 1.0)
+        return jnp.round((fake + 1.0) * 127.5).astype(jnp.uint8)
 
     def aux_loss(self):
         return self.entropy_z.aux_loss()

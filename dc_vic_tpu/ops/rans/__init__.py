@@ -2,6 +2,8 @@
 
 Replaces compressai.ans.{RansEncoder,RansDecoder} in the reference
 (ref: src/models/subnet/context_model/minnen20_charm_context_model.py:12).
+CdfTable prepares a native table handle holding dense 2^16 decode LUTs, so
+decode is O(1) per symbol on the single host core.
 """
 from __future__ import annotations
 
@@ -9,7 +11,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 
@@ -22,7 +24,7 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _build() -> None:
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         "-o", _LIB_PATH, _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -43,38 +45,25 @@ def _load() -> ctypes.CDLL:
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
 
+        lib.dcvic_rans_table_new.restype = ctypes.c_void_p
+        lib.dcvic_rans_table_new.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.dcvic_rans_table_free.restype = None
+        lib.dcvic_rans_table_free.argtypes = [ctypes.c_void_p]
+
         lib.dcvic_rans_encode_with_indexes.restype = ctypes.c_int
         lib.dcvic_rans_encode_with_indexes.argtypes = [
-            i32p, i32p, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
-            u8p, ctypes.c_int,
-        ]
+            i32p, i32p, ctypes.c_int, ctypes.c_void_p, u8p, ctypes.c_int]
         lib.dcvic_rans_decode_with_indexes.restype = None
         lib.dcvic_rans_decode_with_indexes.argtypes = [
-            u8p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
-            i32p, i32p, i32p,
-        ]
+            u8p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_void_p, i32p]
         lib.dcvic_rans_decoder_new.restype = ctypes.c_void_p
         lib.dcvic_rans_decoder_new.argtypes = [u8p, ctypes.c_int]
         lib.dcvic_rans_decoder_free.restype = None
         lib.dcvic_rans_decoder_free.argtypes = [ctypes.c_void_p]
         lib.dcvic_rans_decode_stream.restype = None
         lib.dcvic_rans_decode_stream.argtypes = [
-            ctypes.c_void_p, i32p, ctypes.c_int, i32p, ctypes.c_int,
-            i32p, i32p, i32p,
-        ]
-        lib.dcvic_rans_encoder_new.restype = ctypes.c_void_p
-        lib.dcvic_rans_encoder_new.argtypes = []
-        lib.dcvic_rans_encoder_free.restype = None
-        lib.dcvic_rans_encoder_free.argtypes = [ctypes.c_void_p]
-        lib.dcvic_rans_encoder_push.restype = None
-        lib.dcvic_rans_encoder_push.argtypes = [
-            ctypes.c_void_p, i32p, i32p, ctypes.c_int, i32p, ctypes.c_int,
-            i32p, i32p,
-        ]
-        lib.dcvic_rans_encoder_flush.restype = ctypes.c_int
-        lib.dcvic_rans_encoder_flush.argtypes = [
-            ctypes.c_void_p, u8p, ctypes.c_int,
-        ]
+            ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_void_p, i32p]
         _lib = lib
     return _lib
 
@@ -93,7 +82,8 @@ def _u8p(a: np.ndarray):
 
 class CdfTable:
     """Quantized CDF table: rows of int32 CDFs (each summing to 1<<16),
-    per-row lengths and symbol offsets."""
+    per-row lengths and symbol offsets. Prepares a native handle with dense
+    decode LUTs on construction."""
 
     def __init__(self, cdfs, cdf_lengths, offsets):
         self.cdfs = np.ascontiguousarray(cdfs, dtype=np.int32)
@@ -102,6 +92,15 @@ class CdfTable:
         self.offsets = _as_i32(offsets)
         assert len(self.cdf_lengths) == self.cdfs.shape[0]
         assert len(self.offsets) == self.cdfs.shape[0]
+        self._lib = _load()
+        self._h = self._lib.dcvic_rans_table_new(
+            _i32p(self.cdfs), self.cdfs.shape[0], self.cdfs.shape[1],
+            _i32p(self.cdf_lengths), _i32p(self.offsets))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.dcvic_rans_table_free(self._h)
+            self._h = None
 
 
 def encode_with_indexes(symbols, indexes, table: CdfTable) -> bytes:
@@ -114,11 +113,7 @@ def encode_with_indexes(symbols, indexes, table: CdfTable) -> bytes:
     while True:
         out = np.empty(cap, dtype=np.uint8)
         r = lib.dcvic_rans_encode_with_indexes(
-            _i32p(symbols), _i32p(indexes), n,
-            _i32p(table.cdfs), table.cdfs.shape[1],
-            _i32p(table.cdf_lengths), _i32p(table.offsets),
-            _u8p(out), cap,
-        )
+            _i32p(symbols), _i32p(indexes), n, table._h, _u8p(out), cap)
         if r >= 0:
             return out[:r].tobytes()
         cap = -r + 64
@@ -131,46 +126,33 @@ def decode_with_indexes(stream: bytes, indexes, table: CdfTable) -> np.ndarray:
     buf = np.frombuffer(stream, dtype=np.uint8).copy()
     out = np.empty(n, dtype=np.int32)
     lib.dcvic_rans_decode_with_indexes(
-        _u8p(buf), len(buf), _i32p(indexes), n,
-        _i32p(table.cdfs), table.cdfs.shape[1],
-        _i32p(table.cdf_lengths), _i32p(table.offsets), _i32p(out),
-    )
+        _u8p(buf), len(buf), _i32p(indexes), n, table._h, _i32p(out))
     return out
 
 
 class RansEncoder:
-    """Buffered streaming encoder: push symbol/index batches, then flush."""
+    """Buffered streaming encoder: push symbol/index batches, then flush.
+    (Buffers on the Python side; the flush is a single reverse-pass encode,
+    byte-identical to one-shot encoding of the concatenated sequence.)"""
 
     def __init__(self):
-        self._lib = _load()
-        self._h = self._lib.dcvic_rans_encoder_new()
-        self._n = 0
+        self._syms: List[np.ndarray] = []
+        self._idxs: List[np.ndarray] = []
+        self._table: Optional[CdfTable] = None
 
     def push(self, symbols, indexes, table: CdfTable) -> None:
-        symbols = _as_i32(symbols)
-        indexes = _as_i32(indexes)
-        assert len(symbols) == len(indexes)
-        self._n += len(symbols)
-        self._lib.dcvic_rans_encoder_push(
-            self._h, _i32p(symbols), _i32p(indexes), len(symbols),
-            _i32p(table.cdfs), table.cdfs.shape[1],
-            _i32p(table.cdf_lengths), _i32p(table.offsets),
-        )
+        assert self._table is None or self._table is table, \
+            "streaming encoder requires a single CDF table per stream"
+        self._table = table
+        self._syms.append(_as_i32(symbols))
+        self._idxs.append(_as_i32(indexes))
 
     def flush(self) -> bytes:
-        cap = 16 * self._n + 64
-        while True:
-            out = np.empty(cap, dtype=np.uint8)
-            r = self._lib.dcvic_rans_encoder_flush(self._h, _u8p(out), cap)
-            if r >= 0:
-                self._n = 0
-                return out[:r].tobytes()
-            cap = -r + 64
-
-    def __del__(self):
-        if getattr(self, "_h", None):
-            self._lib.dcvic_rans_encoder_free(self._h)
-            self._h = None
+        assert self._table is not None
+        out = encode_with_indexes(np.concatenate(self._syms),
+                                  np.concatenate(self._idxs), self._table)
+        self._syms, self._idxs, self._table = [], [], None
+        return out
 
 
 class RansDecoder:
@@ -179,17 +161,15 @@ class RansDecoder:
     def __init__(self, stream: bytes):
         self._lib = _load()
         self._buf = np.frombuffer(stream, dtype=np.uint8).copy()
-        self._h = self._lib.dcvic_rans_decoder_new(_u8p(self._buf), len(self._buf))
+        self._h = self._lib.dcvic_rans_decoder_new(_u8p(self._buf),
+                                                   len(self._buf))
 
     def decode_stream(self, indexes, table: CdfTable) -> np.ndarray:
         indexes = _as_i32(indexes)
         n = len(indexes)
         out = np.empty(n, dtype=np.int32)
         self._lib.dcvic_rans_decode_stream(
-            self._h, _i32p(indexes), n,
-            _i32p(table.cdfs), table.cdfs.shape[1],
-            _i32p(table.cdf_lengths), _i32p(table.offsets), _i32p(out),
-        )
+            self._h, _i32p(indexes), n, table._h, _i32p(out))
         return out
 
     def __del__(self):

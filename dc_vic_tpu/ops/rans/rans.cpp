@@ -6,16 +6,22 @@
 // RansDecoder (ref: src/models/comp_model/hyperprior_dc_vic_model.py:314-319
 // and src/models/subnet/context_model/minnen20_charm_context_model.py:179-203).
 // Here it is a small C library driven from Python via ctypes; symbols and CDF
-// indexes are produced on-device (JAX) and only int32 arrays cross the
+// indexes are produced on-device (JAX) and only compact int planes cross the
 // host<->device boundary.
+//
+// Performance notes (single host core is the budget):
+//   * Tables are "prepared" once into a handle holding, per CDF row, a dense
+//     2^16 cum -> symbol lookup (O(1) decode, no per-symbol scan).
+//   * Encoding runs as a single direct reverse pass over the symbols — no
+//     intermediate (start, range) buffering.
 //
 // Stream format:
 //   * 16-bit probability precision; quantized CDFs sum to 1<<16.
 //   * Per-index CDF rows; the last bin (symbol cdf_length-2) is the escape
 //     slot: out-of-range values are coded as escape + variable-length 4-bit
 //     bypass chunks (count coded first, saturating at 15 per chunk).
-//   * Encoder buffers (start, range, bypass) triples and flushes in reverse,
-//     so the decoder reads symbols in forward order.
+//   * Decoder reads symbols in forward order; the encoder therefore walks
+//     the symbol sequence (and each escape's chunk sequence) backwards.
 //   * Final state flushed as two little-endian 32-bit words (low, high).
 
 #include <cassert>
@@ -31,8 +37,6 @@ constexpr uint64_t kRansL = 1ull << 31;
 constexpr int kPrecision = 16;
 constexpr int kBypassPrecision = 4;
 constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
-
-inline void rans_enc_init(Rans64State *r) { *r = kRansL; }
 
 inline void rans_enc_put(Rans64State *r, uint32_t **pptr, uint32_t start,
                          uint32_t freq, uint32_t scale_bits) {
@@ -102,78 +106,72 @@ inline uint32_t rans_dec_get_bits(Rans64State *r, uint32_t **pptr,
   return val;
 }
 
-struct RansSym {
-  uint16_t start;
-  uint16_t range;  // 0 for bypass
-  bool bypass;
+// Prepared CDF table: raw rows + dense decode LUTs.
+struct Table {
+  int rows;
+  int cols;
+  std::vector<int32_t> cdfs;         // [rows, cols]
+  std::vector<int32_t> cdf_lengths;  // [rows]
+  std::vector<int32_t> offsets;      // [rows]
+  std::vector<uint16_t> lut;         // [rows, 1<<precision] cum -> symbol
+
+  const int32_t *row(int i) const { return cdfs.data() + (int64_t)i * cols; }
+  const uint16_t *lut_row(int i) const {
+    return lut.data() + ((int64_t)i << kPrecision);
+  }
 };
 
-// Push one (symbol, index) pair into the symbol buffer, handling escapes.
-inline void push_symbol(std::vector<RansSym> &syms, int32_t symbol,
-                        int32_t index, const int32_t *cdfs, int cdf_cols,
-                        const int32_t *cdf_lengths, const int32_t *offsets) {
-  const int32_t *cdf = cdfs + static_cast<int64_t>(index) * cdf_cols;
-  const int32_t max_value = cdf_lengths[index] - 2;
-  int32_t value = symbol - offsets[index];
+// Count 4-bit chunks of v (0 for v == 0).
+inline int32_t n_chunks(uint32_t v) {
+  int32_t n = 0;
+  while ((v >> (n * kBypassPrecision)) != 0) ++n;
+  return n;
+}
+
+// Reverse-order encode of one (symbol, index) pair.
+inline void encode_one_reverse(Rans64State *r, uint32_t **pptr,
+                               int32_t symbol, int32_t index,
+                               const Table &t) {
+  const int32_t *cdf = t.row(index);
+  const int32_t max_value = t.cdf_lengths[index] - 2;
+  int32_t value = symbol - t.offsets[index];
 
   uint32_t raw_val = 0;
+  bool escape = false;
   if (value < 0) {
     raw_val = static_cast<uint32_t>(-2 * value - 1);
     value = max_value;
+    escape = true;
   } else if (value >= max_value) {
     raw_val = static_cast<uint32_t>(2 * (value - max_value));
     value = max_value;
+    escape = true;
   }
 
-  syms.push_back(RansSym{static_cast<uint16_t>(cdf[value]),
-                         static_cast<uint16_t>(cdf[value + 1] - cdf[value]),
-                         false});
-
-  if (value == max_value) {
-    // Number of 4-bit chunks in raw_val.
-    int32_t n_bypass = 0;
-    while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
-
-    // Chunk count, saturating unary-ish encoding.
-    int32_t v = n_bypass;
+  if (escape) {
+    // Decoder reads: chunk-count chunks, then raw chunks LSB-first. The
+    // reverse encoder emits raw chunks MSB-first, then the count encoding
+    // backwards (count tail chunk first, then saturating 15s).
+    const int32_t nb = n_chunks(raw_val);
+    for (int32_t j = nb - 1; j >= 0; --j) {
+      rans_enc_put_bits(r, pptr,
+                        (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal,
+                        kBypassPrecision);
+    }
+    int32_t v = nb;
+    int32_t n15 = 0;
     while (v >= static_cast<int32_t>(kMaxBypassVal)) {
-      syms.push_back(RansSym{static_cast<uint16_t>(kMaxBypassVal), 0, true});
       v -= kMaxBypassVal;
+      ++n15;
     }
-    syms.push_back(RansSym{static_cast<uint16_t>(v), 0, true});
-
-    // Chunks, least significant first.
-    for (int32_t j = 0; j < n_bypass; ++j) {
-      const uint32_t chunk = (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
-      syms.push_back(RansSym{static_cast<uint16_t>(chunk), 0, true});
+    rans_enc_put_bits(r, pptr, static_cast<uint32_t>(v), kBypassPrecision);
+    for (int32_t j = 0; j < n15; ++j) {
+      rans_enc_put_bits(r, pptr, kMaxBypassVal, kBypassPrecision);
     }
   }
-}
 
-// Encode buffered symbols (reverse order) into out; returns byte count.
-inline int flush_syms(const std::vector<RansSym> &syms, uint8_t *out,
-                      int out_capacity) {
-  // Worst case one 32-bit word per symbol plus the 2-word final state.
-  const size_t cap_words = syms.size() + 2;
-  std::vector<uint32_t> buf(cap_words);
-  uint32_t *ptr = buf.data() + cap_words;
-
-  Rans64State rans;
-  rans_enc_init(&rans);
-  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
-    if (it->bypass) {
-      rans_enc_put_bits(&rans, &ptr, it->start, kBypassPrecision);
-    } else {
-      rans_enc_put(&rans, &ptr, it->start, it->range, kPrecision);
-    }
-  }
-  rans_enc_flush(&rans, &ptr);
-
-  const int nbytes =
-      static_cast<int>((buf.data() + cap_words - ptr) * sizeof(uint32_t));
-  if (nbytes > out_capacity) return -nbytes;
-  std::memcpy(out, ptr, nbytes);
-  return nbytes;
+  rans_enc_put(r, pptr, static_cast<uint32_t>(cdf[value]),
+               static_cast<uint32_t>(cdf[value + 1] - cdf[value]), kPrecision);
 }
 
 struct Decoder {
@@ -187,24 +185,61 @@ struct Decoder {
 
 extern "C" {
 
+// ---------------------------------------------------------------- tables
+void *dcvic_rans_table_new(const int32_t *cdfs, int rows, int cols,
+                           const int32_t *cdf_lengths,
+                           const int32_t *offsets) {
+  auto *t = new Table();
+  t->rows = rows;
+  t->cols = cols;
+  t->cdfs.assign(cdfs, cdfs + (int64_t)rows * cols);
+  t->cdf_lengths.assign(cdf_lengths, cdf_lengths + rows);
+  t->offsets.assign(offsets, offsets + rows);
+  t->lut.resize((int64_t)rows << kPrecision);
+  for (int i = 0; i < rows; ++i) {
+    const int32_t *cdf = t->row(i);
+    uint16_t *lut = t->lut.data() + ((int64_t)i << kPrecision);
+    const int32_t n = t->cdf_lengths[i] - 1;  // number of symbols in row
+    for (int32_t s = 0; s < n; ++s) {
+      for (int32_t c = cdf[s]; c < cdf[s + 1]; ++c) {
+        lut[c] = static_cast<uint16_t>(s);
+      }
+    }
+  }
+  return t;
+}
+
+void dcvic_rans_table_free(void *handle) {
+  delete static_cast<Table *>(handle);
+}
+
+// ---------------------------------------------------------------- encode
 // One-shot encode: symbols[i] coded against cdf row indexes[i].
 // Returns bytes written, or negative required size if capacity insufficient.
 int dcvic_rans_encode_with_indexes(const int32_t *symbols,
                                    const int32_t *indexes, int n,
-                                   const int32_t *cdfs, int cdf_cols,
-                                   const int32_t *cdf_lengths,
-                                   const int32_t *offsets, uint8_t *out,
+                                   const void *table, uint8_t *out,
                                    int out_capacity) {
-  std::vector<RansSym> syms;
-  syms.reserve(static_cast<size_t>(n) + 16);
-  for (int i = 0; i < n; ++i) {
-    push_symbol(syms, symbols[i], indexes[i], cdfs, cdf_cols, cdf_lengths,
-                offsets);
+  const Table &t = *static_cast<const Table *>(table);
+  // Worst case: per symbol, 1 word (renorm) + escape chunks; bound loosely.
+  const size_t cap_words = static_cast<size_t>(n) * 12 + 4;
+  std::vector<uint32_t> buf(cap_words);
+  uint32_t *ptr = buf.data() + cap_words;
+
+  Rans64State rans = kRansL;
+  for (int i = n - 1; i >= 0; --i) {
+    encode_one_reverse(&rans, &ptr, symbols[i], indexes[i], t);
   }
-  return flush_syms(syms, out, out_capacity);
+  rans_enc_flush(&rans, &ptr);
+
+  const int nbytes =
+      static_cast<int>((buf.data() + cap_words - ptr) * sizeof(uint32_t));
+  if (nbytes > out_capacity) return -nbytes;
+  std::memcpy(out, ptr, nbytes);
+  return nbytes;
 }
 
-// Streaming decoder (for the channel-autoregressive per-slice decode).
+// ---------------------------------------------------------------- decode
 void *dcvic_rans_decoder_new(const uint8_t *stream, int stream_len) {
   auto *dec = new Decoder();
   const size_t n_words = (static_cast<size_t>(stream_len) + 3) / 4;
@@ -222,21 +257,17 @@ void dcvic_rans_decoder_free(void *handle) {
 
 // Decode n symbols against cdf rows indexes[i]; forward order.
 void dcvic_rans_decode_stream(void *handle, const int32_t *indexes, int n,
-                              const int32_t *cdfs, int cdf_cols,
-                              const int32_t *cdf_lengths,
-                              const int32_t *offsets, int32_t *out_symbols) {
+                              const void *table, int32_t *out_symbols) {
+  const Table &t = *static_cast<const Table *>(table);
   auto *dec = static_cast<Decoder *>(handle);
   for (int i = 0; i < n; ++i) {
     const int32_t index = indexes[i];
-    const int32_t *cdf = cdfs + static_cast<int64_t>(index) * cdf_cols;
-    const int32_t cdf_len = cdf_lengths[index];
-    const int32_t max_value = cdf_len - 2;
+    const int32_t *cdf = t.row(index);
+    const uint16_t *lut = t.lut_row(index);
+    const int32_t max_value = t.cdf_lengths[index] - 2;
 
     const uint32_t cum = rans_dec_get(&dec->rans, kPrecision);
-
-    // Find s such that cdf[s] <= cum < cdf[s+1] (rows are short; linear scan).
-    int32_t s = 0;
-    while (s < cdf_len - 1 && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+    const int32_t s = lut[cum];
 
     rans_dec_advance(&dec->rans, &dec->ptr, dec->end,
                      static_cast<uint32_t>(cdf[s]),
@@ -267,47 +298,17 @@ void dcvic_rans_decode_stream(void *handle, const int32_t *indexes, int n,
         value += max_value;
       }
     }
-    out_symbols[i] = value + offsets[index];
+    out_symbols[i] = value + t.offsets[index];
   }
 }
 
 // One-shot decode convenience wrapper.
 void dcvic_rans_decode_with_indexes(const uint8_t *stream, int stream_len,
                                     const int32_t *indexes, int n,
-                                    const int32_t *cdfs, int cdf_cols,
-                                    const int32_t *cdf_lengths,
-                                    const int32_t *offsets,
-                                    int32_t *out_symbols) {
+                                    const void *table, int32_t *out_symbols) {
   void *dec = dcvic_rans_decoder_new(stream, stream_len);
-  dcvic_rans_decode_stream(dec, indexes, n, cdfs, cdf_cols, cdf_lengths,
-                           offsets, out_symbols);
+  dcvic_rans_decode_stream(dec, indexes, n, table, out_symbols);
   dcvic_rans_decoder_free(dec);
-}
-
-// Streaming encoder (mirror of the buffered encoder in the reference path).
-void *dcvic_rans_encoder_new() { return new std::vector<RansSym>(); }
-
-void dcvic_rans_encoder_free(void *handle) {
-  delete static_cast<std::vector<RansSym> *>(handle);
-}
-
-void dcvic_rans_encoder_push(void *handle, const int32_t *symbols,
-                             const int32_t *indexes, int n,
-                             const int32_t *cdfs, int cdf_cols,
-                             const int32_t *cdf_lengths,
-                             const int32_t *offsets) {
-  auto *syms = static_cast<std::vector<RansSym> *>(handle);
-  for (int i = 0; i < n; ++i) {
-    push_symbol(*syms, symbols[i], indexes[i], cdfs, cdf_cols, cdf_lengths,
-                offsets);
-  }
-}
-
-int dcvic_rans_encoder_flush(void *handle, uint8_t *out, int out_capacity) {
-  auto *syms = static_cast<std::vector<RansSym> *>(handle);
-  const int nbytes = flush_syms(*syms, out, out_capacity);
-  if (nbytes >= 0) syms->clear();
-  return nbytes;
 }
 
 }  // extern "C"

@@ -48,8 +48,9 @@ def load_image(path: str) -> np.ndarray:
 
 
 def save_image(path: str, img: np.ndarray) -> None:
-    x = np.round((np.clip(img, -1, 1) / 2 + 0.5) * 255).astype(np.uint8)
-    Image.fromarray(x).save(path)
+    if img.dtype != np.uint8:
+        img = np.round((np.clip(img, -1, 1) / 2 + 0.5) * 255).astype(np.uint8)
+    Image.fromarray(img).save(path)
 
 
 def init_params(spec, model_path):
