@@ -64,14 +64,32 @@ def main():
     out = codec.decompress([r["string_list"] for r in res])
     assert out.shape == imgs.shape
 
-    times = []
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        res = codec.compress(imgs, quality_ind=0)
-        out = codec.decompress([r["string_list"] for r in res])
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    ips = BATCH / best
+    # Pipelined steady-state throughput: batch k+1's device encode is
+    # dispatched before batch k's host work, so transfers/host rANS overlap
+    # device compute.
+    n_batches = max(3, ROUNDS)
+    batches = [np.ascontiguousarray(np.roll(imgs, i, axis=0))
+               for i in range(n_batches)]
+    t0 = time.perf_counter()
+    handle = codec.compress_dispatch(batches[0], quality_ind=0)
+    pending_img = None
+    done = 0
+    for k in range(n_batches):
+        nxt = (codec.compress_dispatch(batches[k + 1], quality_ind=0)
+               if k + 1 < n_batches else None)
+        res = codec.compress_finalize(handle)
+        if pending_img is not None:
+            dev, (hh, ww) = pending_img
+            _ = np.asarray(dev)[:, :hh, :ww]
+            done += BATCH
+        pending_img = codec.decompress(
+            [r["string_list"] for r in res], defer_fetch=True)
+        handle = nxt
+    dev, (hh, ww) = pending_img
+    _ = np.asarray(dev)[:, :hh, :ww]
+    done += BATCH
+    total = time.perf_counter() - t0
+    ips = done / total
 
     print(json.dumps({
         "metric": "images/sec/chip enc+dec at Kodak 768x512",

@@ -111,13 +111,14 @@ class Codec:
             p, sigma, method=self.module.y_indexes))
 
     # ------------------------------------------------------------------
-    def compress(self, images: np.ndarray, quality_ind: Optional[int] = None,
-                 beta_rate: Optional[float] = None,
-                 beta_vq: Optional[float] = None,
-                 debug: bool = False) -> List[Dict]:
-        """images: [B, H, W, 3] float in [-1, 1] (unpadded). Returns one dict
-        per image with string_list [header, z_str, y_str] + rate stats.
-        debug=True additionally returns y_hat/z_hat for parity checks."""
+    def compress_dispatch(self, images: np.ndarray,
+                          quality_ind: Optional[int] = None,
+                          beta_rate: Optional[float] = None,
+                          beta_vq: Optional[float] = None,
+                          debug: bool = False) -> Dict:
+        """Phase 1: launch the device encode (async) and start the d2h copies.
+        Returns a handle for compress_finalize. Dispatching batch k+1 before
+        finalizing batch k overlaps device compute with host work/transfers."""
         if quality_ind is not None:
             beta_rate, beta_vq = self.spec.quality_betas(quality_ind)
         else:
@@ -131,6 +132,20 @@ class Codec:
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
         out = enc(self.params, jnp.asarray(x), b1, b2)
+        for k in ("z_symbols", "y_symbols", "y_indexes", "y_bits", "z_bits"):
+            try:
+                out[k].copy_to_host_async()
+            except AttributeError:
+                break
+        return dict(out=out, B=B, H=H, W=W, quality_ind=quality_ind,
+                    debug=debug)
+
+    def compress_finalize(self, handle: Dict) -> List[Dict]:
+        """Phase 2: pull symbol planes and run the host rANS encode."""
+        out = handle["out"]
+        B, H, W = handle["B"], handle["H"], handle["W"]
+        quality_ind = handle["quality_ind"]
+        debug = handle["debug"]
 
         z_sym = np.asarray(out["z_symbols"], np.int32)
         y_sym = np.asarray(out["y_symbols"], np.int32)
@@ -178,8 +193,19 @@ class Codec:
             results.append(r)
         return results
 
+    def compress(self, images: np.ndarray, quality_ind: Optional[int] = None,
+                 beta_rate: Optional[float] = None,
+                 beta_vq: Optional[float] = None,
+                 debug: bool = False) -> List[Dict]:
+        """images: [B, H, W, 3] float in [-1, 1] (unpadded). Returns one dict
+        per image with string_list [header, z_str, y_str] + rate stats.
+        debug=True additionally returns y_hat/z_hat for parity checks."""
+        return self.compress_finalize(self.compress_dispatch(
+            images, quality_ind, beta_rate, beta_vq, debug))
+
     # ------------------------------------------------------------------
-    def decompress(self, string_lists: List[List[bytes]]) -> np.ndarray:
+    def decompress(self, string_lists: List[List[bytes]],
+                   defer_fetch: bool = False) -> np.ndarray:
         """Batched decode of same-resolution, same-quality bitstreams.
         Returns images [B, H, W, 3] uint8."""
         headers = [HeaderHandler.decode(s[0]) for s in string_lists]
@@ -190,11 +216,14 @@ class Codec:
         beta_rate, beta_vq = self.spec.quality_betas(q)
         return self.decompress_raw(
             [s[1] for s in string_lists], [s[2] for s in string_lists],
-            (H, W), beta_rate, beta_vq)
+            (H, W), beta_rate, beta_vq, defer_fetch=defer_fetch)
 
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
                        img_size: Tuple[int, int], beta_rate: float,
-                       beta_vq: float) -> np.ndarray:
+                       beta_vq: float, defer_fetch: bool = False) -> np.ndarray:
+        """defer_fetch=True returns (device uint8 array, (H, W)) with the d2h
+        copy already started — fetch with np.asarray(...)[:, :H, :W] later to
+        overlap the transfer with the next batch's compute."""
         H, W = img_size
         B = len(z_strs)
         padH = -(-H // self.model_stride) * self.model_stride
@@ -233,6 +262,12 @@ class Codec:
 
         recon = self._get_jit(("recon", (B, yH, yW, Cy)), self._recon_fn)
         fake = recon(self.params, y_hat, b1, b2)
+        try:
+            fake.copy_to_host_async()
+        except AttributeError:
+            pass
+        if defer_fetch:
+            return fake, (H, W)
         return np.asarray(fake)[:, :H, :W, :]
 
     def _charm_decode(self, hyper_out, y_strs: List[bytes], B, yH, yW, Cy):
