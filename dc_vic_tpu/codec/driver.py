@@ -90,6 +90,22 @@ class Codec:
                 method=self.module.encode_deterministic)
         return jax.jit(f)
 
+    def _encode_from_vq_fn(self, include_latents: bool):
+        def f(params, x, lat, idx, b1, b2):
+            return self.module.apply(
+                params, x, lat, idx, b1, b2,
+                include_latents=include_latents,
+                method=self.module.encode_deterministic_from_vq)
+        return jax.jit(f)
+
+    def _vq_tile_fn(self):
+        return jax.jit(lambda p, t: self.module.apply(
+            p, t, method=self.module.vq_encode_tile))
+
+    def _vq_quantize_fn(self):
+        return jax.jit(lambda p, h: self.module.apply(
+            p, h, method=self.module.vq_quantize))
+
     def _hyper_decode_fn(self):
         return jax.jit(lambda p, zs: self.module.apply(
             p, zs, method=self.module.hyper_decode))
@@ -126,12 +142,19 @@ class Codec:
             quality_ind = 0
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         x = _pad_np(np.asarray(images, np.float32))
-
-        enc = self._get_jit(("enc", x.shape, debug),
-                            lambda: self._encode_fn(debug))
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
-        out = enc(self.params, jnp.asarray(x), b1, b2)
+
+        from .tiling import SPLIT_RESOLUTION
+        if max(x.shape[1], x.shape[2]) > SPLIT_RESOLUTION:
+            lat, idx = self._split_vq_encode(x)
+            enc = self._get_jit(("enc_vq", x.shape, debug),
+                                lambda: self._encode_from_vq_fn(debug))
+            out = enc(self.params, jnp.asarray(x), lat, idx, b1, b2)
+        else:
+            enc = self._get_jit(("enc", x.shape, debug),
+                                lambda: self._encode_fn(debug))
+            out = enc(self.params, jnp.asarray(x), b1, b2)
         for k in ("z_symbols", "y_symbols", "y_indexes", "y_bits", "z_bits"):
             try:
                 out[k].copy_to_host_async()
@@ -260,6 +283,12 @@ class Codec:
                 for b, s in enumerate(y_strs)])
             y_hat = jnp.asarray(sym.astype(np.float32)) + jnp.asarray(means)
 
+        from .tiling import SPLIT_RESOLUTION
+        if max(H, W) > SPLIT_RESOLUTION:
+            fake = self._split_reconstruct(y_hat, b1, b2, B, padH, padW)
+            fake = fake[:, :H, :W, :]
+            return (fake, (H, W)) if defer_fetch else fake
+
         recon = self._get_jit(("recon", (B, yH, yW, Cy)), self._recon_fn)
         fake = recon(self.params, y_hat, b1, b2)
         try:
@@ -269,6 +298,48 @@ class Codec:
         if defer_fetch:
             return fake, (H, W)
         return np.asarray(fake)[:, :H, :W, :]
+
+    def _split_vq_encode(self, x: np.ndarray):
+        """Tile-batched VQGAN encode for >1024px images: fixed 512px windows,
+        stride 256, center-crop stitching of the pre-quant latent, then one
+        full-image quantize (TPU-first form of _vq_encode_split, ref:
+        hyperprior_vic_model.py:190-246)."""
+        from .tiling import ENC_STRIDE, ENC_WINDOW, extract_tiles, stitch_tiles
+        B, H, W, _ = x.shape
+        tiles, tops, lefts = extract_tiles(x, ENC_WINDOW, ENC_STRIDE)
+        vq_tile = self._get_jit(("vqtile", (B, ENC_WINDOW)), self._vq_tile_fn)
+        T = tiles.shape[0] // B
+        outs = [np.asarray(vq_tile(self.params,
+                                   jnp.asarray(tiles[k * B:(k + 1) * B])))
+                for k in range(T)]
+        df = 8
+        h = stitch_tiles(
+            np.concatenate(outs, axis=0),
+            (B, H // df, W // df, outs[0].shape[-1]),
+            [t // df for t in tops], [l // df for l in lefts],
+            ENC_WINDOW // df, ENC_STRIDE // df)
+        quant = self._get_jit(("vqquant", h.shape), self._vq_quantize_fn)
+        return quant(self.params, jnp.asarray(h))
+
+    def _split_reconstruct(self, y_hat, b1, b2, B, padH, padW):
+        """Overlap-tiled reconstruction for >1024px outputs: 32-cell y windows
+        (=512px), stride 16 (=256px), overlap-discard stitching of uint8 tiles
+        (TPU-first form of decode_split, ref: hyperprior_vic_model.py:413-473,
+        reusing the small-image reconstruction graph per tile batch)."""
+        from .tiling import (DEC_STRIDE_Y, DEC_WINDOW_Y, extract_tiles,
+                             stitch_tiles)
+        y_np = np.asarray(y_hat)
+        tiles, tops, lefts = extract_tiles(y_np, DEC_WINDOW_Y, DEC_STRIDE_Y)
+        recon = self._get_jit(("recon", (B, DEC_WINDOW_Y, DEC_WINDOW_Y,
+                                         y_np.shape[-1])), self._recon_fn)
+        T = tiles.shape[0] // B
+        outs = [np.asarray(recon(self.params,
+                                 jnp.asarray(tiles[k * B:(k + 1) * B]),
+                                 b1, b2))
+                for k in range(T)]
+        return stitch_tiles(
+            np.concatenate(outs, axis=0), (B, padH, padW, 3),
+            tops, lefts, DEC_WINDOW_Y, DEC_STRIDE_Y, scale=self.y_stride)
 
     def _charm_decode(self, hyper_out, y_strs: List[bytes], B, yH, yW, Cy):
         """Per-slice sequential decode: one fused device call per slice."""

@@ -146,6 +146,15 @@ class DCVICModel(nn.Module):
         z_q, _, idx = self.vq_model.quantize(h)
         return jax.lax.stop_gradient(z_q), jax.lax.stop_gradient(idx)
 
+    def vq_encode_tile(self, x_tile: jnp.ndarray) -> jnp.ndarray:
+        """Pre-quant VQGAN latent of one tile batch (split-encode path:
+        tiles are stitched on the host, then quantized via vq_quantize)."""
+        return self.vq_model.encode(x_tile)
+
+    def vq_quantize(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        z_q, _, idx = self.vq_model.quantize(h)
+        return z_q, idx
+
     def vq_indices_to_latent(self, indices: jnp.ndarray) -> jnp.ndarray:
         return self.vq_model.quantize.lookup(indices)
 
@@ -289,6 +298,16 @@ class DCVICModel(nn.Module):
         round-trip verification (ref parity hook: scripts/compress.py:137-138).
         """
         gt_vq_latent, gt_vq_indices = self.vq_encode(x)
+        return self.encode_deterministic_from_vq(
+            x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq,
+            include_latents=include_latents)
+
+    def encode_deterministic_from_vq(self, x, gt_vq_latent, gt_vq_indices,
+                                     beta_rate, beta_vq,
+                                     include_latents: bool = False) -> Dict:
+        """encode_deterministic with the VQ stage precomputed (used by the
+        split-encode path for >1024px images, where the VQGAN encode runs as
+        a separate tile-batched graph)."""
         y = self.comp_encode(x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq)
         z = self.hyperencoder(y)
         z_sym = self.entropy_z.quantize_symbols(z)
