@@ -6,6 +6,7 @@ import dataclasses
 from typing import Any, Dict, List, Optional
 
 from ..utils.registry import MODEL_REGISTRY
+from . import alt_autoencoders  # noqa: F401  (register alternatives)
 from . import subnets  # noqa: F401  (register subnets)
 from .dc_vic import DCVICModel, SPLIT_DECODE_RESOLUTION, STRIDE, pad_image, crop_image
 from .vqgan import VQDecoder, VQEncoder, VQModel, VectorQuantizer
@@ -105,6 +106,7 @@ def build_comp_model(opt, dtype=None) -> CompModelSpec:
         context_cfg=ctx,
         vq_estimator_cfg=est,
         fuse_schedule=sched,
+        fuse_type=fusion.get("fuse_type", "sft"),
         ddconfig=ddconfig,
         n_embed=vq.get("n_embed", 256),
         embed_dim=vq.get("embed_dim", 4),

@@ -81,6 +81,7 @@ class DCVICModel(nn.Module):
     context_cfg: Optional[Dict[str, Any]] = None
     vq_estimator_cfg: Optional[Dict[str, Any]] = None
     fuse_schedule: Optional[Dict[str, Dict[str, int]]] = None
+    fuse_type: str = "sft"
     ddconfig: Optional[Dict[str, Any]] = None
     n_embed: int = 256
     embed_dim: int = 4
@@ -135,8 +136,8 @@ class DCVICModel(nn.Module):
             attn_resolutions=tuple(dd.get("attn_resolutions", (32,))),
             resolution=dd.get("resolution", 256),
             z_channels=dd.get("z_channels", 4), out_ch=dd.get("out_ch", 3),
-            fuse_schedule=self.fuse_schedule, dtype=self.dtype,
-            name="fused_decoder")
+            fuse_schedule=self.fuse_schedule, fuse_type=self.fuse_type,
+            dtype=self.dtype, name="fused_decoder")
 
     # ------------------------------------------------------------------ VQ
     def vq_encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -138,6 +138,53 @@ class DualBetaCondTamingNLayerDiscriminator(nn.Module):
 
 
 @DISCRIMINATOR_REGISTRY.register()
+class DualBetaFtTamingNLayerDiscriminator(nn.Module):
+    """FiLM variant: per-layer beta scale/shift inside the PatchGAN trunk
+    instead of input-channel concatenation (ref:
+    dual_beta_taming_nlayer_discriminator.py:109-215)."""
+    ndf: int = 64
+    out_nc: int = 1
+    n_layers: int = 3
+    norm_type: str = "none"
+    max_beta_1: float = 3.0
+    max_beta_2: float = 3.5
+    L: int = 10
+    cond_ch: int = 64
+    use_pi: bool = False
+    include_x: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, beta_1, beta_2, y_hat=None, train: bool = True):
+        from ..nn.layers import BetaScaleShift, DualBetaCondMLP
+        d = self.dtype
+        cond = DualBetaCondMLP(self.cond_ch, self.L, self.max_beta_1,
+                               self.max_beta_2, self.use_pi, self.include_x,
+                               dtype=d)(beta_1, beta_2)
+        use_bias = self.norm_type != "batchnorm"
+        h = nn.Conv(self.ndf, (4, 4), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], dtype=d)(x)
+        h = BetaScaleShift(self.ndf, dtype=d)(h, cond)
+        h = nn.leaky_relu(h, 0.2)
+        nf = 1
+        for n in range(1, self.n_layers):
+            nf = min(2 ** n, 8)
+            h = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], use_bias=use_bias, dtype=d)(h)
+            h = _Norm(self.norm_type, dtype=d)(h, train)
+            h = BetaScaleShift(self.ndf * nf, dtype=d)(h, cond)
+            h = nn.leaky_relu(h, 0.2)
+        nf = min(2 ** self.n_layers, 8)
+        h = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1),
+                    padding=[(1, 1), (1, 1)], use_bias=use_bias, dtype=d)(h)
+        h = _Norm(self.norm_type, dtype=d)(h, train)
+        h = BetaScaleShift(self.ndf * nf, dtype=d)(h, cond)
+        h = nn.leaky_relu(h, 0.2)
+        return nn.Conv(self.out_nc, (4, 4), strides=(1, 1),
+                       padding=[(1, 1), (1, 1)], dtype=d)(h)
+
+
+@DISCRIMINATOR_REGISTRY.register()
 class OasisDualBetaCondTamingNLayerDiscriminator(nn.Module):
     """OASIS-style per-pixel (n_embed+1)-class discriminator: the shipped
     OASIS config is the NLayer trunk with keep_shape + a nearest-upsample head

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import Conv, FuseSftBlock, num_groups32
+from ..nn.layers import Conv, FuseSftBlock, LightFuseSftBlock, num_groups32
 from ..ops.vq import vq_argmin
 
 Dtype = Any
@@ -56,10 +56,8 @@ class VQAttnBlock(nn.Module):
         q = Conv(C, 1, dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
         k = Conv(C, 1, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
         v = Conv(C, 1, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
-        attn = jnp.einsum("bnc,bmc->bnm", q, k,
-                          preferred_element_type=jnp.float32) * (C ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(B, H, W, C)
+        from ..ops.attention import flash_attention
+        out = flash_attention(q * (C ** -0.5), k, v).reshape(B, H, W, C)
         out = Conv(C, 1, dtype=self.dtype, name="proj_out")(out)
         return x + out
 
@@ -144,14 +142,16 @@ class VQDecoder(nn.Module):
     give_pre_end: bool = False
     # fusion key -> dict(cond_ch, mid_ch); dec_ch inferred from topology
     fuse_schedule: Optional[Dict[str, Dict[str, int]]] = None
+    fuse_type: str = "sft"   # 'sft' | 'light_sft' (ref: vq_fusion_module.py)
     dtype: Optional[Dtype] = None
 
     def _fuse(self, key: str, h, cond_feats, w, dec_ch: int):
         sched = self.fuse_schedule or {}
         if key not in sched:
             return h
-        blk = FuseSftBlock(dec_ch=dec_ch, mid_ch=sched[key].get("mid_ch", dec_ch),
-                           dtype=self.dtype, name=f"fusion_{key}")
+        blk_cls = FuseSftBlock if self.fuse_type == "sft" else LightFuseSftBlock
+        blk = blk_cls(dec_ch=dec_ch, mid_ch=sched[key].get("mid_ch", dec_ch),
+                      dtype=self.dtype, name=f"fusion_{key}")
         if cond_feats is None or key not in cond_feats:
             raise ValueError(f"fusion key {key!r} scheduled but no cond feature given")
         return blk(h, cond_feats[key], w)

@@ -288,6 +288,25 @@ class FuseSftBlock(nn.Module):
         return dec_feat + w * (dec_feat * scale + shift)
 
 
+class LightFuseSftBlock(nn.Module):
+    """Lighter SFT fusion: 1x1+3x3 fuse trunk instead of a GN ResBlock
+    (ref: src/models/layer/light_fuse_layer.py)."""
+    dec_ch: int
+    mid_ch: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, dec_feat, cond_feat, w: float = 1.0):
+        fuse = Conv(self.mid_ch, 1, dtype=self.dtype)(
+            jnp.concatenate([cond_feat, dec_feat], axis=-1))
+        fuse = nn.leaky_relu(fuse, 0.2)
+        fuse = Conv(self.mid_ch, 3, dtype=self.dtype)(fuse)
+        fuse = nn.leaky_relu(fuse, 0.2)
+        scale = Conv(self.dec_ch, 3, dtype=self.dtype)(fuse)
+        shift = Conv(self.dec_ch, 3, dtype=self.dtype)(fuse)
+        return dec_feat + w * (dec_feat * scale + shift)
+
+
 class GDN(nn.Module):
     """Generalized divisive normalization (plain JAX; the reference uses the
     CUDA-backed compressai.layers.GDN in the non-default Balle18/Cheng20

@@ -160,6 +160,18 @@ class Trainer:
         self.eval_csv = CSVLogger(self.paths.eval_csv_path,
                                   ["iter", "bpp", "psnr", "ms_ssim", "vq_acc"])
         self.meter = AvgMeter()
+        # optional wandb sink (ref: base_trainer.py:85-99)
+        self._wandb = None
+        if self.opt.get("use_wandb"):
+            try:
+                import wandb
+                wandb.init(project=self.opt.get("project_name", "dc_vic"),
+                           name=self.opt.get("exp"),
+                           config=self.opt.to_plain()
+                           if hasattr(self.opt, "to_plain") else dict(self.opt))
+                self._wandb = wandb
+            except ImportError:
+                self.logger.warning("use_wandb set but wandb not installed")
 
     def _load_checkpoint(self, cfg: Dict):
         path = cfg.get("path") or cfg.get("load_path")
@@ -198,6 +210,9 @@ class Trainer:
                     " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items())) +
                     f" ({stat['time_per_iter']:.3f}s/it eta {stat['eta_hours']:.1f}h)")
                 self.loss_csv.write({"iter": itr, **avg})
+                if self._wandb is not None:
+                    self._wandb.log({f"loss/{k}": v for k, v in avg.items()},
+                                    step=itr)
 
             if itr % eval_step == 0:
                 self.validate(itr)
@@ -206,34 +221,49 @@ class Trainer:
                 self.save(itr)
 
     # ------------------------------------------------------------------
+    def _beta_eval_grid(self):
+        """Beta corners for validation (ref: dual_cond_rate_distortion
+        trainer :202-233 validates at the 4 (0/max) corners)."""
+        if not self.module.use_beta:
+            return [None]
+        br, bv = self.policy.max_beta_rate, self.policy.max_beta_vq
+        return [(0.0, 0.0), (0.0, bv), (br, 0.0), (br, bv)]
+
     def validate(self, itr: int, max_samples: int = 24):
-        """Kodak bpp/PSNR/MS-SSIM/vq_acc at mid betas (ref:
-        hyperprior_dc_vic_model.py validation; beta defaults max/2)."""
+        """Kodak bpp/PSNR/MS-SSIM/vq_acc at the beta-grid corners."""
         params = self.state.params
-        beta_r = jnp.array([self.policy.max_beta_rate / 2.0])
-        beta_v = jnp.array([self.policy.max_beta_vq / 2.0])
-        rows = []
         fwd = self._jit_eval_fwd()
-        for i, batch in enumerate(self.eval_loader.eval_batches()):
-            if i >= max_samples:
-                break
-            x = pad_image(jnp.asarray(batch["real_images"]))
-            out = fwd(params, x, beta_r, beta_v) if self.module.use_beta \
-                else fwd(params, x)
-            H, W = batch["real_images"].shape[1:3]
-            fake = np.asarray(out["fake_images"])[:, :H, :W]
-            real = batch["real_images"]
-            rows.append(dict(
-                bpp=float(out["qbpp"]),
-                psnr=calc_psnr(real, fake),
-                ms_ssim=calc_ms_ssim(real, fake),
-                vq_acc=float(out["vq_accuracy"]),
-            ))
-        avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} \
-            if rows else {}
-        self.logger.info(f"[eval iter {itr}] " +
-                         " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+        avg = {}
+        for corner in self._beta_eval_grid():
+            rows = []
+            for i, batch in enumerate(self.eval_loader.eval_batches()):
+                if i >= max_samples:
+                    break
+                x = pad_image(jnp.asarray(batch["real_images"]))
+                if corner is None:
+                    out = fwd(params, x)
+                else:
+                    out = fwd(params, x, jnp.array([corner[0]]),
+                              jnp.array([corner[1]]))
+                H, W = batch["real_images"].shape[1:3]
+                fake = np.asarray(out["fake_images"])[:, :H, :W]
+                real = batch["real_images"]
+                rows.append(dict(
+                    bpp=float(out["qbpp"]),
+                    psnr=calc_psnr(real, fake),
+                    ms_ssim=calc_ms_ssim(real, fake),
+                    vq_acc=float(out["vq_accuracy"]),
+                ))
+            cavg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} \
+                if rows else {}
+            tag = "" if corner is None else f" beta=({corner[0]},{corner[1]})"
+            self.logger.info(f"[eval iter {itr}]{tag} " +
+                             " ".join(f"{k}={v:.4f}" for k, v in cavg.items()))
+            avg = cavg  # last corner logged to CSV (max betas)
         self.eval_csv.write({"iter": itr, **avg})
+        if self._wandb is not None:
+            self._wandb.log({f"eval/{k}": v for k, v in avg.items()},
+                            step=itr)
         return avg
 
     _eval_fwd_cache: Optional[Any] = None
