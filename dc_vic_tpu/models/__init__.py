@@ -114,6 +114,8 @@ def build_comp_model(opt, dtype=None) -> CompModelSpec:
         bottleneck_z=ez.get("channels", 192),
         scale_bound=ey.get("scale_bound", 0.11),
         enc_vq_input=model_cfg.get("enc_vq_input", "onehot_indices"),
+        enc_input_vq_recon=model_cfg.get("enc_input_vq_recon", False),
+        convert_img_range_to_01=opt.get("convert_img_range_to_01", False),
         use_charm=use_charm,
         use_beta=use_beta,
         gumbel_sampling=model_cfg.get("gumbel_sampling", False),

@@ -89,6 +89,12 @@ class DCVICModel(nn.Module):
     bottleneck_z: int = 192
     scale_bound: float = 0.11
     enc_vq_input: str = "onehot_indices"
+    # feed the VQGAN reconstruction alongside the image into the encoder
+    # (ref: hyperprior_vic_model.py enc_input_vq_recon)
+    enc_input_vq_recon: bool = False
+    # operate in [0,1] instead of [-1,1] for CompressAI-style training
+    # (ref: base_model.py convert_img_range_to_01)
+    convert_img_range_to_01: bool = False
     use_charm: bool = True
     use_beta: bool = True
     gumbel_sampling: bool = False
@@ -124,7 +130,8 @@ class DCVICModel(nn.Module):
         # Frozen VQGAN prior: encoder/quantizer side...
         self.vq_model = VQModel(
             n_embed=self.n_embed, embed_dim=self.embed_dim,
-            ddconfig=self.ddconfig, with_decoder=False, dtype=self.dtype,
+            ddconfig=self.ddconfig,
+            with_decoder=self.enc_input_vq_recon, dtype=self.dtype,
             name="vq_model")
         # ...and the decoder with trainable SFT fusion taps. Its non-fusion
         # parameters are populated with (and frozen to) the same VQGAN
@@ -170,12 +177,28 @@ class DCVICModel(nn.Module):
             norm = (gt_vq_indices.astype(gt_vq_latent.dtype)
                     / (self.n_embed - 1))[..., None]
             return jnp.concatenate([gt_vq_latent, norm], axis=-1)
+        if self.enc_vq_input == "long_indices":
+            # embedding-based encoders take the raw latent + int indices
+            return gt_vq_latent
         raise NotImplementedError(self.enc_vq_input)
 
     # ------------------------------------------------------------- encode
     def comp_encode(self, x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq):
+        if self.convert_img_range_to_01:
+            x = (x + 1.0) / 2.0
+        if self.enc_input_vq_recon:
+            recon = jax.lax.stop_gradient(self.vq_model.decode(
+                self.vq_indices_to_latent(gt_vq_indices),
+                force_not_quantize=True))
+            x = jnp.concatenate([x, recon], axis=-1)
         feat = self._vq_feat(gt_vq_latent, gt_vq_indices)
         feat = jax.lax.stop_gradient(feat)
+        if self.enc_vq_input == "long_indices":
+            # embedding-based encoders consume the int token map directly
+            if self.use_beta:
+                return self.encoder(x, feat, beta_rate, beta_vq,
+                                    gt_vq_indices)
+            return self.encoder(x, feat, gt_vq_indices)
         if self.use_beta:
             return self.encoder(x, feat, beta_rate, beta_vq)
         return self.encoder(x, feat)
@@ -232,6 +255,8 @@ class DCVICModel(nn.Module):
 
         vq_latent = self.vq_model.post_quant_conv(vq_latent)
         fake = self.fused_decoder(vq_latent, cond_feats, w)
+        if self.convert_img_range_to_01:
+            fake = fake * 2.0 - 1.0  # back to the [-1,1] output contract
         return fake, pred_embed, logits, indices
 
     # ------------------------------------------------------------ forward
@@ -286,6 +311,16 @@ class DCVICModel(nn.Module):
             qbpp=qbpp,
             **entropy,
         )
+
+    def extract_y_hat(self, x, beta_rate=None, beta_vq=None):
+        """Encode-only y_hat (no reconstruction) — used when the
+        discriminator conditions on y_hat for held-out real images
+        (ref: hyperprior_dc_vic_model.py extract_y_hat)."""
+        gt_vq_latent, gt_vq_indices = self.vq_encode(x)
+        y = self.comp_encode(x, gt_vq_latent, gt_vq_indices,
+                             beta_rate, beta_vq)
+        entropy = self.estimate_entropy(y, is_train=False)
+        return jax.lax.stop_gradient(entropy["quantized_code"]["y"])
 
     # --------------------------------------------------- codec-side graphs
     def encode_deterministic(self, x, beta_rate, beta_vq,

@@ -182,6 +182,129 @@ class ElicVqCatScEncoder(nn.Module):
 
 
 @ENCODER_REGISTRY.register()
+class ElicVqEmbCatEncoder(nn.Module):
+    """ElicVqCatScEncoder + learned embedding of the VQ indices concatenated
+    into the projection (ref: elic_insert_encoder.py ElicVqEmbCatEncoder)."""
+    out_ch: int = 192
+    main_ch: int = 192
+    block_mid_ch: int = 96
+    num_blocks: int = 3
+    res_in_res: bool = False
+    proj_pos: str = "conv3"
+    vq_n_embed: int = 256
+    vq_ind_embed_dim: int = 32
+    dtype: Optional[Dtype] = None
+    input_vq_latent: bool = True
+
+    @nn.compact
+    def __call__(self, x, feat, vq_indices):
+        d = self.dtype
+        emb_table = self.param(
+            "vq_ind_emb", nn.initializers.normal(1.0),
+            (self.vq_n_embed, self.vq_ind_embed_dim))
+
+        def project(h):
+            emb = jnp.take(emb_table, vq_indices, axis=0)
+            proj = Conv(h.shape[-1], 3, dtype=d, name="projection")(
+                jnp.concatenate([feat, h, emb], axis=-1))
+            return h + proj
+
+        x = Conv(self.main_ch, 5, 2, dtype=d, name="conv1")(x)
+        x = ResidualBottleneckBlocks(self.main_ch, self.block_mid_ch,
+                                     self.num_blocks, self.res_in_res, d,
+                                     name="block1")(x)
+        x = Conv(self.main_ch, 5, 2, dtype=d, name="conv2")(x)
+        x = ResidualBottleneckBlocks(self.main_ch, self.block_mid_ch,
+                                     self.num_blocks, self.res_in_res, d,
+                                     name="block2")(x)
+        x = ChengNLAM(self.main_ch, dtype=d, name="attn2")(x)
+        x = Conv(self.main_ch, 5, 2, dtype=d, name="conv3")(x)
+        if self.proj_pos == "conv3":
+            x = project(x)
+        x = ResidualBottleneckBlocks(self.main_ch, self.block_mid_ch,
+                                     self.num_blocks, self.res_in_res, d,
+                                     name="block3")(x)
+        x = Conv(self.out_ch, 5, 2, dtype=d, name="conv4")(x)
+        if self.proj_pos == "conv4":
+            x = project(x)
+        x = ChengNLAM(self.out_ch, dtype=d, name="attn4")(x)
+        return x
+
+
+@ENCODER_REGISTRY.register()
+class ElicDualBetaFtVqEmbCatEncoder(nn.Module):
+    """Dual-beta FiLM + embedded-index VQ insertion (ref:
+    elic_dual_beta_ft_autoencoder.py ElicDualBetaFtVqEmbCatEncoder; the
+    reference skips the FiLM immediately after conv3 — kept for parity)."""
+    out_ch: int = 192
+    main_ch: int = 192
+    block_mid_ch: int = 96
+    num_blocks: int = 3
+    res_in_res: bool = False
+    proj_pos: str = "conv3"
+    vq_n_embed: int = 256
+    vq_ind_embed_dim: int = 32
+    max_beta_1: float = 3.0
+    max_beta_2: float = 3.5
+    cond_ch: int = 128
+    L: int = 10
+    use_pi: bool = False
+    include_x: bool = True
+    dtype: Optional[Dtype] = None
+    input_vq_latent: bool = True
+
+    @nn.compact
+    def __call__(self, x, feat, beta_1, beta_2, vq_indices):
+        d = self.dtype
+        cond = DualBetaCondMLP(
+            self.cond_ch, self.L, self.max_beta_1, self.max_beta_2,
+            self.use_pi, self.include_x, dtype=d, name="beta_mlp",
+        )(beta_1, beta_2)
+        emb_table = self.param(
+            "vq_ind_emb", nn.initializers.normal(1.0),
+            (self.vq_n_embed, self.vq_ind_embed_dim))
+
+        def ft(i, h):
+            return BetaScaleShift(h.shape[-1], dtype=d,
+                                  name=f"beta_ft_{i}")(h, cond)
+
+        def project(h):
+            emb = jnp.take(emb_table, vq_indices, axis=0)
+            proj = Conv(h.shape[-1], 3, dtype=d, name="projection")(
+                jnp.concatenate([feat, h, emb], axis=-1))
+            return h + proj
+
+        x = Conv(self.main_ch, 5, 2, dtype=d, name="conv1")(x)
+        x = ft(0, x)
+        x = ResidualBottleneckBlocks(self.main_ch, self.block_mid_ch,
+                                     self.num_blocks, self.res_in_res, d,
+                                     name="block1")(x)
+        x = ft(1, x)
+        x = Conv(self.main_ch, 5, 2, dtype=d, name="conv2")(x)
+        x = ft(2, x)
+        x = ResidualBottleneckBlocks(self.main_ch, self.block_mid_ch,
+                                     self.num_blocks, self.res_in_res, d,
+                                     name="block2")(x)
+        x = ft(3, x)
+        x = ChengNLAM(self.main_ch, dtype=d, name="attn2")(x)
+        x = ft(4, x)
+        x = Conv(self.main_ch, 5, 2, dtype=d, name="conv3")(x)
+        if self.proj_pos == "conv3":
+            x = project(x)
+        x = ResidualBottleneckBlocks(self.main_ch, self.block_mid_ch,
+                                     self.num_blocks, self.res_in_res, d,
+                                     name="block3")(x)
+        x = ft(6, x)
+        x = Conv(self.out_ch, 5, 2, dtype=d, name="conv4")(x)
+        if self.proj_pos == "conv4":
+            x = project(x)
+        x = ft(7, x)
+        x = ChengNLAM(self.out_ch, dtype=d, name="attn4")(x)
+        x = ft(8, x)
+        return x
+
+
+@ENCODER_REGISTRY.register()
 class ElicDualBetaFtVqScEncoder(nn.Module):
     """Shipped encoder: beta-FiLM after each of the 9 ELIC layers + VQ feature
     concat-projection at /8 (ref: elic_dual_beta_ft_autoencoder.py:48-141)."""

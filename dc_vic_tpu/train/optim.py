@@ -63,12 +63,40 @@ def build_schedule(base_lr: float, sched_cfg: Optional[Dict]):
 # Optimizers
 # --------------------------------------------------------------------------
 
+def paramwise_scale(rules: Dict[str, float]) -> optax.GradientTransformation:
+    """Per-parameter lr multipliers keyed by path substring
+    (ref: build_optimizer_scheduler.py:74-100 paramwise_opt)."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        flat = traverse_util.flatten_dict(updates["params"]
+                                          if "params" in updates else updates)
+        out = {}
+        for path, u in flat.items():
+            scale = 1.0
+            joined = "/".join(path)
+            for key, mult in rules.items():
+                if key in joined:
+                    scale *= mult
+            out[path] = u * scale
+        out = traverse_util.unflatten_dict(out)
+        if "params" in updates:
+            out = {"params": out}
+        return out, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(opt_cfg: Dict, sched_cfg: Optional[Dict] = None,
                     clip_max_norm: Optional[float] = None,
                     mask=None) -> optax.GradientTransformation:
     cfg = dict(opt_cfg)
     otype = cfg.pop("type", "Adam")
     lr = cfg.pop("lr", 1e-4)
+    paramwise = cfg.pop("paramwise_opt", None)
     schedule = build_schedule(lr, sched_cfg)
 
     if otype == "Adam":
@@ -84,6 +112,8 @@ def build_optimizer(opt_cfg: Dict, sched_cfg: Optional[Dict] = None,
     if clip_max_norm:
         chain.append(optax.clip_by_global_norm(clip_max_norm))
     chain.append(tx)
+    if paramwise:
+        chain.append(paramwise_scale(dict(paramwise)))
     tx = optax.chain(*chain)
     if mask is not None:
         tx = optax.masked(tx, mask)

@@ -168,26 +168,44 @@ def make_rd_step(module: DCVICModel, losses: Dict, g_tx, aux_tx,
 
 def make_gan_step(module: DCVICModel, disc, losses: Dict, g_tx, aux_tx, d_tx,
                   policy: BetaPolicy, oasis: bool = False,
+                  mc_sampling: bool = False, y_hat_cond: bool = False,
                   lpips_fn=None) -> Callable:
     """GAN fine-tune step (stages 1_3 / 3): alternating G and D updates in
     one compiled graph; encoder/entropy path frozen via fix_entropy_models
-    (ref: dual_cond_gan_distortion_vq_code_trainer.py:126-190)."""
+    (ref: dual_cond_gan_distortion_vq_code_trainer.py:126-190).
+
+    mc_sampling: split the batch so D sees held-out reals (second half)
+    against fakes from the first half (ref: :91-114). y_hat_cond: the
+    discriminator additionally conditions on y_hat (extract_y_hat for the
+    held-out reals, ref: :236-280)."""
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng, r_beta, r_model = jax.random.split(state.rng, 3)
-        beta_rate, beta_vq = policy.sample(r_beta, batch.shape[0])
         gan_loss = losses["gan_loss"]
+
+        if mc_sampling:
+            half = batch.shape[0] // 2
+            g_batch, d_real_batch = batch[:half], batch[half:half * 2]
+        else:
+            g_batch = d_real_batch = batch
+        beta_rate, beta_vq = policy.sample(r_beta, g_batch.shape[0])
+
+        def d_apply(d_params, img, y_hat=None):
+            if y_hat_cond:
+                return disc.apply(d_params, img, beta_rate, beta_vq,
+                                  y_hat=y_hat)
+            return disc.apply(d_params, img, beta_rate, beta_vq)
 
         # ---------------- G ----------------
         def g_loss_fn(params):
-            out = module.apply(params, batch, beta_rate, beta_vq,
+            out = module.apply(params, g_batch, beta_rate, beta_vq,
                                is_train=True, rng=r_model,
                                fix_entropy_models=True)
-            total, terms = _g_losses(module, losses, out, batch,
+            total, terms = _g_losses(module, losses, out, g_batch,
                                      beta_rate, beta_vq, policy,
                                      include_rate=False, lpips_fn=lpips_fn)
-            d_out = disc.apply(state.d_params, out["fake_images"],
-                               beta_rate, beta_vq)
+            d_out = d_apply(state.d_params, out["fake_images"],
+                            out["quantized_code"]["y"])
             if oasis:
                 adv = gan_loss(d_out, out["gt_vq_indices"],
                                is_disc=False, is_real=True)
@@ -209,13 +227,26 @@ def make_gan_step(module: DCVICModel, disc, losses: Dict, g_tx, aux_tx, d_tx,
 
         # ---------------- D ----------------
         fake = jax.lax.stop_gradient(out["fake_images"])
+        fake_y_hat = jax.lax.stop_gradient(out["quantized_code"]["y"])
         gt_idx = out["gt_vq_indices"]
+        real_y_hat = None
+        real_gt_idx = gt_idx
+        if y_hat_cond or (mc_sampling and oasis):
+            real_out = module.apply(
+                new_params, d_real_batch, beta_rate, beta_vq,
+                method=module.extract_y_hat) if y_hat_cond else None
+            real_y_hat = real_out
+        if mc_sampling and oasis:
+            # OASIS D loss on held-out reals needs their token maps
+            _, real_gt_idx = module.apply(new_params, d_real_batch,
+                                          method=module.vq_encode)
 
         def d_loss_fn(d_params):
-            d_real = disc.apply(d_params, batch, beta_rate, beta_vq)
-            d_fake = disc.apply(d_params, fake, beta_rate, beta_vq)
+            d_real = d_apply(d_params, d_real_batch, real_y_hat)
+            d_fake = d_apply(d_params, fake, fake_y_hat)
             if oasis:
-                l_real = gan_loss(d_real, gt_idx, is_disc=True, is_real=True)
+                l_real = gan_loss(d_real, real_gt_idx, is_disc=True,
+                                  is_real=True)
                 l_fake = gan_loss(d_fake, gt_idx, is_disc=True, is_real=False)
             else:
                 l_real = gan_loss(d_real, is_real=True, is_disc=True)

@@ -99,6 +99,7 @@ class Trainer:
                                       None, None)
 
         model_cfg = dict(opt.get("model") or {})
+        trainer_cfg = dict(opt.get("trainer") or {})
         enc_cfg = dict(opt["subnet"]["encoder"])
         policy = BetaPolicy(
             use_beta=self.module.use_beta,
@@ -108,8 +109,10 @@ class Trainer:
             max_beta_rate=enc_cfg.get("max_beta_1") or 3.0,
             max_beta_vq=enc_cfg.get("max_beta_2") or 3.5,
             num_levels=model_cfg.get("num_beta_levels", 100),
-            sample_batch_beta=model_cfg.get("sample_batch_beta", False),
-            weight_type=model_cfg.get("beta_weight_type", "exp"),
+            sample_batch_beta=(trainer_cfg.get("sample_beta_batch")
+                               or model_cfg.get("sample_batch_beta", False)),
+            weight_type=(trainer_cfg.get("beta_policy")
+                         or model_cfg.get("beta_weight_type", "exp")),
         )
         self.policy = policy
 
@@ -137,9 +140,11 @@ class Trainer:
         )
 
         if self.gan:
-            step_fn = make_gan_step(self.module, self.disc, self.losses,
-                                    self.g_tx, self.aux_tx, self.d_tx,
-                                    policy, oasis=self.oasis)
+            step_fn = make_gan_step(
+                self.module, self.disc, self.losses,
+                self.g_tx, self.aux_tx, self.d_tx, policy, oasis=self.oasis,
+                mc_sampling=trainer_cfg.get("mc_sampling", False),
+                y_hat_cond=trainer_cfg.get("y_hat_cond", False))
         else:
             step_fn = make_rd_step(self.module, self.losses, self.g_tx,
                                    self.aux_tx, policy)
@@ -152,6 +157,8 @@ class Trainer:
         # resume / cross-exp load (ref: base_trainer.py:36-42)
         if opt.get("load_checkpoint"):
             self._load_checkpoint(dict(opt["load_checkpoint"]))
+        elif opt.get("start_iter", 0) > 0:
+            self._resume_same_exp(int(opt["start_iter"]))
         self.saver = Saver(self.paths.model_dir, opt.get("keep_step") or ())
 
     def _set_loggers(self):
@@ -172,6 +179,27 @@ class Trainer:
                 self._wandb = wandb
             except ImportError:
                 self.logger.warning("use_wandb set but wandb not installed")
+
+    def _resume_same_exp(self, start_iter: int):
+        """Resume this experiment from its own checkpoints at start_iter
+        (ref: base_trainer.py:36-37), restoring optimizer state + step when
+        a training_state checkpoint exists."""
+        host = jax.device_get(self.state)
+        mp = self.paths.checkpoint_path("comp_model", start_iter)
+        if not os.path.exists(mp):
+            self.logger.warning(f"resume requested but missing {mp}")
+            return
+        params = Saver.load(mp, host.params)
+        new_state = host.replace(params=params,
+                                 step=jnp.asarray(start_iter, jnp.int32))
+        tp = self.paths.checkpoint_path("training_state", start_iter)
+        if os.path.exists(tp):
+            ts = Saver.load(tp, {"g_opt": host.g_opt, "aux_opt": host.aux_opt,
+                                 "step": host.step})
+            new_state = new_state.replace(g_opt=ts["g_opt"],
+                                          aux_opt=ts["aux_opt"])
+        self.state = replicate(new_state, self.mesh)
+        self.logger.info(f"resumed {self.opt.get('exp')} at iter {start_iter}")
 
     def _load_checkpoint(self, cfg: Dict):
         path = cfg.get("path") or cfg.get("load_path")
