@@ -299,6 +299,47 @@ class Codec:
             return fake, (H, W)
         return np.asarray(fake)[:, :H, :W, :]
 
+    def verify_roundtrip(self, results: List[Dict],
+                         string_lists: List[List[bytes]],
+                         img_size: Tuple[int, int]) -> bool:
+        """Operational self-check: the decode-side y_hat reconstruction must
+        equal the encoder's bit-exactly (the reference's commented-out
+        allclose hook, scripts/compress.py:137-138, made runnable). Requires
+        results from compress(..., debug=True)."""
+        H, W = img_size
+        B = len(string_lists)
+        padH = -(-H // self.model_stride) * self.model_stride
+        padW = -(-W // self.model_stride) * self.model_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        Cz, Cy = self.module.bottleneck_z, self.module.bottleneck_y
+
+        z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
+                                 (zH, zW, Cz)).reshape(-1)
+        z_sym = np.stack([
+            decode_with_indexes(s[1], z_idx1, self.z_table)
+            .reshape(zH, zW, Cz) for s in string_lists]).astype(np.int16)
+        hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
+                              self._hyper_decode_fn)
+        hyper_out, z_hat = hyper(self.params, jnp.asarray(z_sym))
+        if self.module.use_charm:
+            y_hat = np.asarray(self._charm_decode(
+                hyper_out, [s[2] for s in string_lists], B, yH, yW, Cy))
+        else:
+            means, sigma = np.split(np.asarray(hyper_out), 2, axis=-1)
+            yidx_fn = self._get_jit(("yidx", sigma.shape), self._y_indexes_fn)
+            idx = np.asarray(yidx_fn(self.params, jnp.asarray(sigma)), np.int32)
+            sym = np.stack([
+                decode_with_indexes(s[2], idx[b].reshape(-1), self.y_table)
+                .reshape(yH, yW, Cy) for b, s in enumerate(string_lists)])
+            y_hat = sym.astype(np.float32) + means
+        z_hat = np.asarray(z_hat)
+        ok = True
+        for b, r in enumerate(results):
+            ok &= bool(np.array_equal(y_hat[b], r["y_hat"]))
+            ok &= bool(np.array_equal(z_hat[b], r["z_hat"]))
+        return ok
+
     def _split_vq_encode(self, x: np.ndarray):
         """Tile-batched VQGAN encode for >1024px images: fixed 512px windows,
         stride 256, center-crop stitching of the pre-quant latent, then one

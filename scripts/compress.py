@@ -38,6 +38,8 @@ def parse_args():
     p.add_argument("--save_dir", type=str, required=True)
     p.add_argument("-q", "--quality", type=int, required=True)
     p.add_argument("--decompress", action="store_true")
+    p.add_argument("--selfcheck", action="store_true",
+                   help="verify decode-side latents match the encoder bit-exactly")
     p.add_argument("--batch_size", type=int, default=1)
     return p.parse_args()
 
@@ -101,7 +103,8 @@ def main():
         for i in range(0, len(bucket_paths), bs):
             chunk = bucket_paths[i:i + bs]
             imgs = np.stack([load_image(p) for p in chunk])
-            results = codec.compress(imgs, quality_ind=args.quality)
+            results = codec.compress(imgs, quality_ind=args.quality,
+                                     debug=args.selfcheck)
             H, W = imgs.shape[1], imgs.shape[2]
 
             bin_paths = []
@@ -124,6 +127,15 @@ def main():
                     "num_pixel": H * W,
                 })
                 logger.info(f"{name}: {nbytes * 8 / (H*W):.5f} bpp")
+
+            if args.selfcheck:
+                strings = [load_byte_strings(bp) for bp in bin_paths]
+                ok = codec.verify_roundtrip(results, strings, (H, W))
+                if not ok:
+                    raise SystemExit(
+                        "SELFCHECK FAILED: decode-side latents diverge from "
+                        "the encoder (non-deterministic device math?)")
+                logger.info(f"selfcheck ok ({len(chunk)} images)")
 
             if args.decompress:
                 strings = [load_byte_strings(bp) for bp in bin_paths]
