@@ -19,16 +19,13 @@ hyperprior_charm_dc_vic_model.py:62-91):
 """
 from __future__ import annotations
 
-import functools
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Tuple
+from typing import TYPE_CHECKING, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import CompModelSpec
-from ..models.dc_vic import STRIDE
 from ..ops.rans import (
     CdfTable,
     RansDecoder,
@@ -38,6 +35,11 @@ from ..ops.rans import (
 from .bottleneck import EntropyBottleneck, build_bottleneck_cdf
 from .container import HeaderHandler
 from .gaussian import GaussianConditional, get_scale_table
+
+if TYPE_CHECKING:  # type-only: models imports codec's siblings at runtime
+    from ..models import CompModelSpec
+
+STRIDE = 64  # reflect-pad multiple (ref: base_model.py:30)
 
 
 def _pad_np(x: np.ndarray, stride: int = STRIDE) -> np.ndarray:
@@ -52,7 +54,7 @@ class Codec:
     """Stateful codec around a built model: tables + jitted graph cache
     (equivalent of codec_setup + compress/decompress in the reference)."""
 
-    def __init__(self, spec: CompModelSpec, params):
+    def __init__(self, spec: "CompModelSpec", params):
         self.spec = spec
         self.module = spec.module
         self.params = params
