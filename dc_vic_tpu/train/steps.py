@@ -82,17 +82,31 @@ def _cond_update(ok, new_state: TrainState, old_state: TrainState) -> TrainState
         new_state, old_state)
 
 
+def _apply_sample_weight(loss_val: jnp.ndarray, weight) -> jnp.ndarray:
+    """Per-sample weighting (ref: dual_cond trainer apply_loss_weight):
+    reduce non-batch dims per sample, multiply by the (broadcastable)
+    per-sample weight, then mean. Scalar losses are weighted by the mean
+    weight (equivalent when the weight is shared across the batch)."""
+    if jnp.ndim(loss_val) == 0:
+        return jnp.mean(weight) * loss_val
+    per_sample = jnp.mean(loss_val.reshape(loss_val.shape[0], -1), axis=1)
+    return jnp.mean(per_sample * weight)
+
+
 def _g_losses(module: DCVICModel, losses: Dict, out: Dict, batch,
               beta_rate, beta_vq, policy: BetaPolicy,
               include_rate: bool = True, lpips_fn=None) -> Tuple[jnp.ndarray, Dict]:
-    """Shared generator-side loss assembly."""
+    """Shared generator-side loss assembly. With dual-beta conditioning the
+    rate term is weighted by w(beta_rate) and the VQ-code terms by
+    w(beta_vq), per sample when betas are sampled per sample
+    (ref: dual_cond_rate_distortion_vq_code_trainer.py calc_g_loss)."""
     terms: Dict[str, jnp.ndarray] = {}
 
     if include_rate and "rate_loss" in losses:
         if policy.use_beta:
             w = policy.weight(beta_rate)
-            terms["rate"] = losses["rate_loss"].loss_weight * jnp.mean(
-                w * out["bpp_per_sample"])
+            terms["rate"] = _apply_sample_weight(
+                losses["rate_loss"].loss_weight * out["bpp_per_sample"], w)
         else:
             terms["rate"] = losses["rate_loss"](out["bpp"])
 
@@ -103,14 +117,27 @@ def _g_losses(module: DCVICModel, losses: Dict, out: Dict, batch,
         terms["perceptual"] = losses["perceptual_loss"](
             batch, out["fake_images"], lpips_fn=lpips_fn)
 
-    code_w = policy.weight(beta_vq) if policy.use_beta else 1.0
-    code_w = jnp.mean(code_w) if policy.use_beta else code_w
+    code_w = policy.weight(beta_vq) if policy.use_beta else None
     if "code_distortion_loss" in losses:
-        terms["code_distortion"] = code_w * losses["code_distortion_loss"](
-            out["gt_vq_latent"], out["out_vq_latent"])
+        cd = losses["code_distortion_loss"]
+        per_elem = cd.loss_weight * (out["gt_vq_latent"]
+                                     - out["out_vq_latent"]) ** 2
+        terms["code_distortion"] = (
+            _apply_sample_weight(per_elem, code_w) if code_w is not None
+            else jnp.mean(per_elem))
     if "code_ce_loss" in losses:
-        terms["code_ce"] = code_w * losses["code_ce_loss"](
-            out["out_vq_logits"], out["gt_vq_indices"])
+        ce = losses["code_ce_loss"]
+        logits, target = out["out_vq_logits"], out["gt_vq_indices"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logpt = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+        nll = -logpt
+        gamma = getattr(ce, "gamma", None)
+        if gamma is not None:
+            nll = ((1.0 - jnp.exp(logpt)) ** gamma) * nll
+        per_elem = ce.loss_weight * nll
+        terms["code_ce"] = (
+            _apply_sample_weight(per_elem, code_w) if code_w is not None
+            else jnp.mean(per_elem))
 
     total = sum(terms.values())
     return total, terms
