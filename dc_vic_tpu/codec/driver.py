@@ -43,6 +43,8 @@ STRIDE = 64  # reflect-pad multiple (ref: base_model.py:30)
 
 
 def _pad_np(x: np.ndarray, stride: int = STRIDE) -> np.ndarray:
+    """Reflect-pad to a stride multiple, preserving dtype (uint8 images stay
+    uint8 so the h2d transfer is 4x smaller; normalization runs on device)."""
     H, W = x.shape[1], x.shape[2]
     ph, pw = (-H) % stride, (-W) % stride
     if ph == 0 and pw == 0:
@@ -143,7 +145,10 @@ class Codec:
             assert beta_rate is not None and beta_vq is not None
             quality_ind = 0
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
-        x = _pad_np(np.asarray(images, np.float32))
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
+        x = _pad_np(images)
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
 
@@ -157,7 +162,11 @@ class Codec:
             enc = self._get_jit(("enc", x.shape, debug),
                                 lambda: self._encode_fn(debug))
             out = enc(self.params, jnp.asarray(x), b1, b2)
-        for k in ("z_symbols", "y_symbols", "y_indexes", "y_bits", "z_bits"):
+        # Start d2h only for the planes the finalize step actually reads:
+        # the packed sym+idx plane (the separate y_symbols/y_indexes planes
+        # stay on device unless the rare max_abs_sym>=512 fallback fires).
+        for k in ("z_symbols", "y_packed", "y_bits", "z_bits", "max_abs_y",
+                  "max_abs_sym"):
             try:
                 out[k].copy_to_host_async()
             except AttributeError:
@@ -173,8 +182,13 @@ class Codec:
         debug = handle["debug"]
 
         z_sym = np.asarray(out["z_symbols"], np.int32)
-        y_sym = np.asarray(out["y_symbols"], np.int32)
-        y_idx = np.asarray(out["y_indexes"], np.int32)
+        if int(np.asarray(out["max_abs_sym"])) < 512:
+            packed = np.asarray(out["y_packed"])
+            y_sym = (packed & 1023).astype(np.int32) - 512
+            y_idx = (packed >> 10).astype(np.int32)
+        else:  # pathological symbol range: fetch the full-width planes
+            y_sym = np.asarray(out["y_symbols"], np.int32)
+            y_idx = np.asarray(out["y_indexes"], np.int32)
         y_bits = np.asarray(out["y_bits"])
         z_bits = np.asarray(out["z_bits"])
         max_abs_y = int(np.asarray(out["max_abs_y"]))

@@ -54,6 +54,19 @@ def crop_image(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return x[:, :H, :W, :]
 
 
+def to_model_range(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 pixels -> [-1, 1] float32 on device; float input passes through.
+
+    Same f32 op order as the reference's host-side ToTensor + Normalize(.5,.5)
+    (src/dataset/data_transform.py): t = x/255, then (t - .5)/.5 — but run on
+    device, so the host->device image transfer is uint8 (4x fewer bytes).
+    """
+    if x.dtype == jnp.uint8:
+        t = x.astype(jnp.float32) / 255.0
+        return (t - 0.5) / 0.5
+    return x
+
+
 def likelihood_to_bpp(likelihood: jnp.ndarray, num_pixel: int) -> jnp.ndarray:
     bits = -jnp.sum(jnp.log(likelihood)) / jnp.log(2.0)
     return bits / num_pixel
@@ -156,8 +169,9 @@ class DCVICModel(nn.Module):
 
     def vq_encode_tile(self, x_tile: jnp.ndarray) -> jnp.ndarray:
         """Pre-quant VQGAN latent of one tile batch (split-encode path:
-        tiles are stitched on the host, then quantized via vq_quantize)."""
-        return self.vq_model.encode(x_tile)
+        tiles are stitched on the host, then quantized via vq_quantize).
+        Accepts uint8 tiles (normalized on device)."""
+        return self.vq_model.encode(to_model_range(x_tile))
 
     def vq_quantize(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         z_q, _, idx = self.vq_model.quantize(h)
@@ -332,7 +346,9 @@ class DCVICModel(nn.Module):
         indexes, and per-image scalar bit estimates — ~0.9 MB/image instead of
         ~12 MB. include_latents=True additionally returns y_hat/z_hat for
         round-trip verification (ref parity hook: scripts/compress.py:137-138).
+        Accepts uint8 images (normalized on device — 4x smaller h2d).
         """
+        x = to_model_range(x)
         gt_vq_latent, gt_vq_indices = self.vq_encode(x)
         return self.encode_deterministic_from_vq(
             x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq,
@@ -344,6 +360,7 @@ class DCVICModel(nn.Module):
         """encode_deterministic with the VQ stage precomputed (used by the
         split-encode path for >1024px images, where the VQGAN encode runs as
         a separate tile-batched graph)."""
+        x = to_model_range(x)
         y = self.comp_encode(x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq)
         z = self.hyperencoder(y)
         z_sym = self.entropy_z.quantize_symbols(z)
@@ -361,13 +378,22 @@ class DCVICModel(nn.Module):
 
         _, z_lik = self.entropy_z(z, is_train=False)
         ln2 = jnp.log(2.0)
+        y_idx = self.y_indexes(sigma)
+        # Symbol and CDF index share one uint16 plane (sym in 10 bits biased,
+        # idx in 6 bits: the scale table has 64 entries) — halves the symbol
+        # d2h bytes. The host falls back to the separate planes (lazy, only
+        # fetched then) when max_abs_sym >= 512 (pathological inputs).
+        y_packed = ((y_idx.astype(jnp.uint16) << 10)
+                    | (jnp.clip(y_sym, -512, 511) + 512).astype(jnp.uint16))
         out = dict(
             z_symbols=jnp.clip(z_sym, -32000, 32000).astype(jnp.int16),
             y_symbols=jnp.clip(y_sym, -32000, 32000).astype(jnp.int16),
-            y_indexes=self.y_indexes(sigma).astype(jnp.uint8),
+            y_indexes=y_idx.astype(jnp.uint8),
+            y_packed=y_packed,
             y_bits=-jnp.sum(jnp.log(y_lik), axis=(1, 2, 3)) / ln2,
             z_bits=-jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / ln2,
             max_abs_y=jnp.max(jnp.abs(y_hat)),
+            max_abs_sym=jnp.max(jnp.abs(y_sym)),
         )
         if include_latents:
             out.update(y_hat=y_hat, z_hat=z_hat)

@@ -45,8 +45,9 @@ def parse_args():
 
 
 def load_image(path: str) -> np.ndarray:
-    x = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-    return (x - 0.5) * 2.0
+    # uint8 straight through: the codec normalizes to [-1,1] on device
+    # (same f32 op order as the reference's host transform).
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
 
 
 def save_image(path: str, img: np.ndarray) -> None:

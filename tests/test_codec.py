@@ -106,3 +106,32 @@ def test_bpp_estimate_matches_actual(codec):
     actual_bits = 8 * (len(res["string_list"][1]) + len(res["string_list"][2]))
     pred_bits = (res["pred_y_bpp"] + res["pred_z_bpp"]) * res["num_pixel"]
     assert actual_bits < pred_bits * 1.08 + 256, (actual_bits, pred_bits)
+
+
+def test_uint8_input_matches_host_normalized(codec):
+    """uint8 pixels fed straight to the codec (device-side normalize) must
+    produce byte-identical bitstreams to host-normalized f32 input — the
+    device conversion mirrors the reference transform's f32 op order
+    (ref: src/dataset/data_transform.py ToTensor+Normalize(.5,.5))."""
+    rng = np.random.default_rng(3)
+    img_u8 = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    img_f32 = ((img_u8.astype(np.float32) / 255.0) - 0.5) / 0.5
+
+    res_u8 = codec.compress(img_u8, quality_ind=1)
+    res_f32 = codec.compress(img_f32, quality_ind=1)
+    for a, b in zip(res_u8, res_f32):
+        assert a["string_list"] == b["string_list"]
+
+    out = codec.decompress([r["string_list"] for r in res_u8])
+    assert out.shape == img_u8.shape and out.dtype == np.uint8
+
+
+def test_packed_symbol_plane_unpack():
+    """The uint16 (idx<<10 | sym+512) packing used for the d2h symbol plane
+    must invert exactly over the full sym x idx range."""
+    sym = np.arange(-512, 512, dtype=np.int32)
+    idx = np.tile(np.arange(64, dtype=np.int32), 16)
+    packed = ((idx.astype(np.uint16) << 10)
+              | (sym + 512).astype(np.uint16))
+    np.testing.assert_array_equal((packed & 1023).astype(np.int32) - 512, sym)
+    np.testing.assert_array_equal((packed >> 10).astype(np.int32), idx)
