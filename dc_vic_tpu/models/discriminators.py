@@ -44,12 +44,35 @@ class _Norm(nn.Module):
             return nn.GroupNorm(num_groups=num_groups32(x.shape[-1]),
                                 dtype=self.dtype)(x)
         if nt == "actnorm":
-            # data-independent stand-in for flow ActNorm: learned per-channel
-            # scale/bias (proper data-dependent init happens at conversion)
-            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-            return x * scale + bias
+            # Flow-style ActNorm (ref: taming/modules/util.py:10-62):
+            # trainable per-channel loc/scale, data-dependent initialized so
+            # the first batch comes out zero-mean/unit-variance. The torch
+            # version captures stats on the first training forward; the flax
+            # idiom is to capture them from the `init` input — the trainer
+            # inits the discriminator on a real data batch when actnorm is
+            # configured. Degenerate constant inputs (e.g. a zeros dummy)
+            # fall back to identity instead of a 1e6 scale.
+            def scale_init(_rng):
+                std = jnp.std(x, axis=tuple(range(x.ndim - 1)), ddof=1)
+                return jnp.where(std > 1e-12, 1.0 / (std + 1e-6),
+                                 jnp.ones_like(std))
+
+            def loc_init(_rng):
+                return -jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+
+            scale = self.param("scale", scale_init)
+            loc = self.param("loc", loc_init)
+            return scale * (x + loc)
         raise NotImplementedError(nt)
+
+
+def _conv_kinit(weight_init: bool):
+    """DCGAN-style conv kernel init used by the reference discriminators when
+    weight_init=True (default): N(0, 0.02) on every conv weight
+    (ref: taming/modules/discriminator/model.py:8-14 weights_init)."""
+    if weight_init:
+        return nn.initializers.normal(stddev=0.02)
+    return nn.initializers.lecun_normal()
 
 
 @DISCRIMINATOR_REGISTRY.register()
@@ -61,31 +84,35 @@ class TamingNLayerDiscriminator(nn.Module):
     n_layers: int = 3
     keep_shape: bool = False
     norm_type: str = "batchnorm"
+    weight_init: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         d = self.dtype
+        ki = _conv_kinit(self.weight_init)
         use_bias = self.norm_type != "batchnorm"
         h = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    dtype=d)(x)
+                    kernel_init=ki, dtype=d)(x)
         h = nn.leaky_relu(h, 0.2)
         nf = 1
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
             h = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], use_bias=use_bias, dtype=d)(h)
+                        padding=[(1, 1), (1, 1)], use_bias=use_bias,
+                        kernel_init=ki, dtype=d)(h)
             h = _Norm(self.norm_type, dtype=d)(h, train)
             h = nn.leaky_relu(h, 0.2)
 
         kw = 3 if self.keep_shape else 4
         nf = min(2 ** self.n_layers, 8)
         h = nn.Conv(self.ndf * nf, (kw, kw), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=use_bias, dtype=d)(h)
+                    padding=[(1, 1), (1, 1)], use_bias=use_bias,
+                    kernel_init=ki, dtype=d)(h)
         h = _Norm(self.norm_type, dtype=d)(h, train)
         h = nn.leaky_relu(h, 0.2)
         return nn.Conv(self.out_nc, (kw, kw), strides=(1, 1),
-                       padding=[(1, 1), (1, 1)], dtype=d)(h)
+                       padding=[(1, 1), (1, 1)], kernel_init=ki, dtype=d)(h)
 
 
 @DISCRIMINATOR_REGISTRY.register()
@@ -105,6 +132,7 @@ class DualBetaCondTamingNLayerDiscriminator(nn.Module):
     include_x: bool = True
     y_hat_cond: bool = False
     y_hat_out_ch: Optional[int] = None
+    weight_init: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -126,7 +154,8 @@ class DualBetaCondTamingNLayerDiscriminator(nn.Module):
         if self.y_hat_cond:
             assert y_hat is not None
             y = jax.lax.stop_gradient(y_hat)
-            y = nn.Conv(self.y_hat_out_ch, (3, 3), padding="SAME", dtype=d)(y)
+            y = nn.Conv(self.y_hat_out_ch, (3, 3), padding="SAME",
+                        kernel_init=_conv_kinit(self.weight_init), dtype=d)(y)
             y = nn.leaky_relu(y, 0.2)
             rep = H // y.shape[1]
             y = jnp.repeat(jnp.repeat(y, rep, axis=1), W // y_hat.shape[2], axis=2)
@@ -134,7 +163,8 @@ class DualBetaCondTamingNLayerDiscriminator(nn.Module):
 
         return TamingNLayerDiscriminator(
             self.ndf, self.out_nc, self.n_layers, self.keep_shape,
-            self.norm_type, dtype=d, name="trunk")(h, train)
+            self.norm_type, weight_init=self.weight_init,
+            dtype=d, name="trunk")(h, train)
 
 
 @DISCRIMINATOR_REGISTRY.register()
@@ -152,36 +182,40 @@ class DualBetaFtTamingNLayerDiscriminator(nn.Module):
     cond_ch: int = 64
     use_pi: bool = False
     include_x: bool = True
+    weight_init: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, beta_1, beta_2, y_hat=None, train: bool = True):
         from ..nn.layers import BetaScaleShift, DualBetaCondMLP
         d = self.dtype
+        ki = _conv_kinit(self.weight_init)
         cond = DualBetaCondMLP(self.cond_ch, self.L, self.max_beta_1,
                                self.max_beta_2, self.use_pi, self.include_x,
                                dtype=d)(beta_1, beta_2)
         use_bias = self.norm_type != "batchnorm"
         h = nn.Conv(self.ndf, (4, 4), strides=(2, 2),
-                    padding=[(1, 1), (1, 1)], dtype=d)(x)
+                    padding=[(1, 1), (1, 1)], kernel_init=ki, dtype=d)(x)
         h = BetaScaleShift(self.ndf, dtype=d)(h, cond)
         h = nn.leaky_relu(h, 0.2)
         nf = 1
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
             h = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], use_bias=use_bias, dtype=d)(h)
+                        padding=[(1, 1), (1, 1)], use_bias=use_bias,
+                        kernel_init=ki, dtype=d)(h)
             h = _Norm(self.norm_type, dtype=d)(h, train)
             h = BetaScaleShift(self.ndf * nf, dtype=d)(h, cond)
             h = nn.leaky_relu(h, 0.2)
         nf = min(2 ** self.n_layers, 8)
         h = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=use_bias, dtype=d)(h)
+                    padding=[(1, 1), (1, 1)], use_bias=use_bias,
+                    kernel_init=ki, dtype=d)(h)
         h = _Norm(self.norm_type, dtype=d)(h, train)
         h = BetaScaleShift(self.ndf * nf, dtype=d)(h, cond)
         h = nn.leaky_relu(h, 0.2)
         return nn.Conv(self.out_nc, (4, 4), strides=(1, 1),
-                       padding=[(1, 1), (1, 1)], dtype=d)(h)
+                       padding=[(1, 1), (1, 1)], kernel_init=ki, dtype=d)(h)
 
 
 @DISCRIMINATOR_REGISTRY.register()
@@ -200,6 +234,7 @@ class OasisDualBetaCondTamingNLayerDiscriminator(nn.Module):
     use_pi: bool = False
     include_x: bool = True
     token_stride: int = 8  # logits predicted on the H/8 VQ token grid
+    weight_init: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -209,7 +244,8 @@ class OasisDualBetaCondTamingNLayerDiscriminator(nn.Module):
             keep_shape=True, norm_type=self.norm_type,
             max_beta_1=self.max_beta_1, max_beta_2=self.max_beta_2,
             L=self.L, cond_ch=self.cond_ch, use_pi=self.use_pi,
-            include_x=self.include_x, dtype=self.dtype, name="body",
+            include_x=self.include_x, weight_init=self.weight_init,
+            dtype=self.dtype, name="body",
         )(x, beta_1, beta_2, y_hat, train)
         # trunk output is at /2^n_layers; resize to the token grid (H/8)
         tgt_h = x.shape[1] // self.token_stride
@@ -227,7 +263,7 @@ def build_discriminator(opt: Dict, dtype=None):
     cfg = dtype_kw
     disc_type = cfg.pop("type")
     # torch-only / input-inferred keys
-    for k in ("input_nc", "weight_init", "use_actnorm", "norm_kwargs",
+    for k in ("input_nc", "use_actnorm", "norm_kwargs",
               "y_hat_in_ch"):
         cfg.pop(k, None)
     return DISCRIMINATOR_REGISTRY.get(disc_type)(**cfg)

@@ -111,8 +111,11 @@ class Trainer:
             num_levels=model_cfg.get("num_beta_levels", 100),
             sample_batch_beta=(trainer_cfg.get("sample_beta_batch")
                                or model_cfg.get("sample_batch_beta", False)),
+            # reference default is 'linear' with offset 1.0 (shipped configs
+            # set beta_policy: exp) — dual_cond_rate_..._trainer.py:61-62
             weight_type=(trainer_cfg.get("beta_policy")
-                         or model_cfg.get("beta_weight_type", "exp")),
+                         or model_cfg.get("beta_weight_type", "linear")),
+            weight_offset=trainer_cfg.get("beta_offset", 1.0),
         )
         self.policy = policy
 
@@ -120,10 +123,18 @@ class Trainer:
         if self.gan:
             self.disc = build_discriminator(dict(opt["discriminator"]))
             size = self.opt["dataset"]["train_dataset"].get("image_size", 256)
-            dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+            if opt["discriminator"].get("norm_type") == "actnorm":
+                # ActNorm's loc/scale are data-dependent initialized from the
+                # first batch's per-channel stats (ref: taming ActNorm
+                # initializes on its first training forward) — init on real
+                # data instead of a zeros dummy.
+                dummy = jnp.asarray(next(self.train_loader.infinite())
+                                    ["real_images"])
+            else:
+                dummy = jnp.zeros((1, size, size, 3), jnp.float32)
             beta = jnp.array([0.0])
-            d_params = jax.jit(lambda r: self.disc.init(
-                r, dummy, beta, beta))(d_rng)
+            d_params = jax.jit(lambda r, d: self.disc.init(
+                r, d, beta, beta))(d_rng, dummy)
             self.d_tx = build_optimizer(optim.get("d_optimizer",
                                                   optim.get("g_optimizer", {})),
                                         optim.get("d_scheduler"), clip)

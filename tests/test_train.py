@@ -155,3 +155,17 @@ def test_data_parallel_rd_step(setup):
     s1, m1 = pstep(state, batch)
     assert np.isfinite(float(m1["total"]))
     assert int(s1.step) == 1
+
+
+def test_beta_weight_policy_semantics():
+    """Loss-weight policies match the reference trainer
+    (dual_cond_rate_distortion_vq_code_trainer.py:71-78): 'linear' is
+    beta + offset (default offset 1.0), 'exp' is e^beta."""
+    from dc_vic_tpu.train.steps import BetaPolicy
+    lin = BetaPolicy(weight_type="linear", weight_offset=1.0)
+    np.testing.assert_allclose(np.asarray(lin.weight(jnp.array(2.5))), 3.5)
+    lin2 = BetaPolicy(weight_type="linear", weight_offset=0.25)
+    np.testing.assert_allclose(np.asarray(lin2.weight(jnp.array(2.5))), 2.75)
+    ex = BetaPolicy(weight_type="exp")
+    np.testing.assert_allclose(np.asarray(ex.weight(jnp.array(2.0))),
+                               np.exp(2.0), rtol=1e-6)

@@ -104,3 +104,24 @@ def test_paramwise_scale():
     flat = traverse_util.flatten_dict(ups["params"])
     np.testing.assert_allclose(flat[("encoder", "w")], 0.1)
     np.testing.assert_allclose(flat[("decoder", "w")], 1.0)
+
+
+def test_actnorm_data_dependent_init():
+    """ActNorm (ref: taming/modules/util.py:10-62) initializes loc/scale from
+    the init batch so it comes out zero-mean/unit-std per channel; a constant
+    (zeros-dummy) init degrades to identity instead of exploding."""
+    from dc_vic_tpu.models.discriminators import _Norm
+
+    norm = _Norm("actnorm")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 8, 8, 6)) * 3.0 + 1.5
+    params = norm.init(rng, x)
+    out = norm.apply(params, x)
+    np.testing.assert_allclose(np.mean(out, axis=(0, 1, 2)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.std(out, axis=(0, 1, 2), ddof=1), 1.0,
+                               atol=1e-3)
+
+    zeros = jnp.zeros((2, 8, 8, 6))
+    pz = norm.init(rng, zeros)
+    np.testing.assert_allclose(np.asarray(pz["params"]["scale"]), 1.0)
+    np.testing.assert_allclose(np.asarray(pz["params"]["loc"]), 0.0)
