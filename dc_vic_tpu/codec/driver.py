@@ -162,11 +162,10 @@ class Codec:
             enc = self._get_jit(("enc", x.shape, debug),
                                 lambda: self._encode_fn(debug))
             out = enc(self.params, jnp.asarray(x), b1, b2)
-        # Start d2h only for the planes the finalize step actually reads:
-        # the packed sym+idx plane (the separate y_symbols/y_indexes planes
-        # stay on device unless the rare max_abs_sym>=512 fallback fires).
-        for k in ("z_symbols", "y_packed", "y_bits", "z_bits", "max_abs_y",
-                  "max_abs_sym"):
+        # Start d2h only for the two fused buffers finalize reads (everything
+        # else — y_symbols/y_indexes fallback planes, debug latents — stays
+        # on device unless actually fetched).
+        for k in ("sym_plane", "stats"):
             try:
                 out[k].copy_to_host_async()
             except AttributeError:
@@ -181,17 +180,27 @@ class Codec:
         quality_ind = handle["quality_ind"]
         debug = handle["debug"]
 
-        z_sym = np.asarray(out["z_symbols"], np.int32)
-        if int(np.asarray(out["max_abs_sym"])) < 512:
-            packed = np.asarray(out["y_packed"])
+        padH = -(-H // self.model_stride) * self.model_stride
+        padW = -(-W // self.model_stride) * self.model_stride
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        Cy = self.module.bottleneck_y
+        Czm = self.module.bottleneck_z
+        ny = yH * yW * Cy
+
+        stats = np.asarray(out["stats"])
+        y_bits, z_bits = stats[:B], stats[B:2 * B]
+        max_abs_y = int(stats[2 * B])
+        plane = np.asarray(out["sym_plane"])
+        z_sym = (plane[:, ny:].view(np.int16)
+                 .reshape(B, zH, zW, Czm).astype(np.int32))
+        if int(stats[2 * B + 1]) < 512:
+            packed = plane[:, :ny].reshape(B, yH, yW, Cy)
             y_sym = (packed & 1023).astype(np.int32) - 512
             y_idx = (packed >> 10).astype(np.int32)
         else:  # pathological symbol range: fetch the full-width planes
             y_sym = np.asarray(out["y_symbols"], np.int32)
             y_idx = np.asarray(out["y_indexes"], np.int32)
-        y_bits = np.asarray(out["y_bits"])
-        z_bits = np.asarray(out["z_bits"])
-        max_abs_y = int(np.asarray(out["max_abs_y"]))
 
         Cz = z_sym.shape[-1]
         z_idx1 = np.broadcast_to(

@@ -385,15 +385,30 @@ class DCVICModel(nn.Module):
         # fetched then) when max_abs_sym >= 512 (pathological inputs).
         y_packed = ((y_idx.astype(jnp.uint16) << 10)
                     | (jnp.clip(y_sym, -512, 511) + 512).astype(jnp.uint16))
+        z_i16 = jnp.clip(z_sym, -32000, 32000).astype(jnp.int16)
+        B = y_packed.shape[0]
+        y_bits = -jnp.sum(jnp.log(y_lik), axis=(1, 2, 3)) / ln2
+        z_bits = -jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / ln2
+        max_abs_y = jnp.max(jnp.abs(y_hat))
+        max_abs_sym = jnp.max(jnp.abs(y_sym))
         out = dict(
-            z_symbols=jnp.clip(z_sym, -32000, 32000).astype(jnp.int16),
+            z_symbols=z_i16,
             y_symbols=jnp.clip(y_sym, -32000, 32000).astype(jnp.int16),
             y_indexes=y_idx.astype(jnp.uint8),
             y_packed=y_packed,
-            y_bits=-jnp.sum(jnp.log(y_lik), axis=(1, 2, 3)) / ln2,
-            z_bits=-jnp.sum(jnp.log(z_lik), axis=(1, 2, 3)) / ln2,
-            max_abs_y=jnp.max(jnp.abs(y_hat)),
-            max_abs_sym=jnp.max(jnp.abs(y_sym)),
+            # Fused d2h buffers: ONE uint16 plane (y packed + z bitcast) and
+            # ONE f32 stats vector per batch — each separate fetch over the
+            # tunnel pays a ~30 ms sync floor, so small arrays are coalesced.
+            sym_plane=jnp.concatenate(
+                [y_packed.reshape(B, -1),
+                 jax.lax.bitcast_convert_type(z_i16, jnp.uint16)
+                    .reshape(B, -1)], axis=1),
+            stats=jnp.concatenate(
+                [y_bits, z_bits, max_abs_y[None], max_abs_sym[None]]),
+            y_bits=y_bits,
+            z_bits=z_bits,
+            max_abs_y=max_abs_y,
+            max_abs_sym=max_abs_sym,
         )
         if include_latents:
             out.update(y_hat=y_hat, z_hat=z_hat)

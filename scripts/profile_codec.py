@@ -51,7 +51,8 @@ def main():
     codec = Codec(spec, params)
 
     B, H, W = args.batch, args.height, args.width
-    imgs = np.random.default_rng(0).uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    imgs = np.random.default_rng(0).integers(0, 256, (B, H, W, 3),
+                                             dtype=np.uint8)
     q = 0 if spec.selected_beta_rate else None
     kw = ({"quality_ind": 0} if spec.selected_beta_rate
           else {"beta_rate": 1.0, "beta_vq": 1.0})
@@ -67,7 +68,7 @@ def main():
             with timer.stage("1_device_encode+sym_d2h"):
                 handle = codec.compress_dispatch(imgs, **kw)
                 res_out = handle["out"]
-                _ = np.asarray(res_out["y_symbols"])
+                _ = np.asarray(res_out["sym_plane"])
             with timer.stage("2_host_rans_encode"):
                 res = codec.compress_finalize(handle)
             strings = [r["string_list"] for r in res]
