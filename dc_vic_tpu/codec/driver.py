@@ -422,9 +422,13 @@ class Codec:
             sym = np.stack(list(self._pool.map(
                 lambda b: decoders[b]
                 .decode_stream(idx_np[b].reshape(-1), self.y_table)
-                .reshape(yH, yW, slice_ch), range(B)))).astype(np.int16)
+                .reshape(yH, yW, slice_ch), range(B))))
+            # upload int8 when the decoded symbols fit (the common case for
+            # natural images) — halves the per-slice h2d; jit retraces per
+            # dtype so the int16 fallback stays correct.
+            dt = np.int8 if np.abs(sym).max() < 128 else np.int16
             sf = self._get_jit(("slice_s", i, (B, yH, yW)),
                                lambda i=i: self._slice_step_fn(i))
             y_hat_prev, mu, idx = sf(self.params, hyper_out, y_hat_prev,
-                                     jnp.asarray(sym), mu)
+                                     jnp.asarray(sym.astype(dt)), mu)
         return y_hat_prev
