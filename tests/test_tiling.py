@@ -94,3 +94,30 @@ def test_large_image_codec_roundtrip():
     y_hat = codec._charm_decode(hyper_out, [res["string_list"][2]],
                                 1, yH, yW, Cy)
     np.testing.assert_array_equal(np.asarray(y_hat)[0], res["y_hat"])
+
+
+@pytest.mark.slow
+def test_large_image_uint8_matches_f32():
+    """uint8 input through the >1024px split-encode path must produce the
+    same bitstream as host-normalized f32 input (device-side normalization
+    runs inside vq_encode_tile for the tiled path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dc_vic_tpu.codec.driver import Codec
+    from dc_vic_tpu.models import build_comp_model
+
+    spec = build_comp_model(tiny_config())
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(rng, (1, 64, 64, 3), minval=-1, maxval=1)
+    beta = jnp.array([1.0])
+    params = jax.jit(lambda r: spec.module.init(
+        {"params": r}, x0, beta, beta, is_train=False))(rng)
+    codec = Codec(spec, params)
+
+    img_u8 = np.random.default_rng(5).integers(
+        0, 256, (1, 1152, 640, 3), dtype=np.uint8)
+    img_f32 = ((img_u8.astype(np.float32) / 255.0) - 0.5) / 0.5
+    res_u8 = codec.compress(img_u8, quality_ind=0)[0]
+    res_f32 = codec.compress(img_f32, quality_ind=0)[0]
+    assert res_u8["string_list"] == res_f32["string_list"]
