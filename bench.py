@@ -22,7 +22,7 @@ import numpy as np
 # v5e-1 (batch 24 OOMs at 22.5G/15.75G); larger batches amortize the
 # tunnel's ~30 ms sync floor.
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "4"))
 H, W = 768, 512
 TARGET = 20.0
 
@@ -86,13 +86,18 @@ def main():
     cycle_times = []
     for k in range(n_batches):
         t0 = time.perf_counter()
+        # Queue batch k+1's encode FIRST so the device is never idle while
+        # the host runs batch k's rANS (decode's device calls line up after
+        # the queued encode on the single stream; throughput, not latency,
+        # is the benchmark's unit).
+        nxt = (codec.compress_dispatch(batches[k + 1], quality_ind=0)
+               if k + 1 < n_batches else None)
         res = codec.compress_finalize(handle)
         pending = codec.decompress(
             [r["string_list"] for r in res], defer_fetch=True)
-        if k + 1 < n_batches:
-            handle = codec.compress_dispatch(batches[k + 1], quality_ind=0)
         dev, (hh, ww) = pending
         _ = np.asarray(dev)[:, :hh, :ww]
+        handle = nxt
         cycle_times.append(time.perf_counter() - t0)
     ips = BATCH / min(cycle_times)
 
