@@ -408,27 +408,50 @@ class Codec:
             tops, lefts, DEC_WINDOW_Y, DEC_STRIDE_Y, scale=self.y_stride)
 
     def _charm_decode(self, hyper_out, y_strs: List[bytes], B, yH, yW, Cy):
-        """Per-slice sequential decode: one fused device call per slice."""
+        """Per-slice sequential decode. With >=2 images the batch is split in
+        half and the two slice chains are interleaved, so one half's host
+        rANS decode overlaps the other half's device slice step (the decode
+        analog of the dispatch/finalize encode pipeline)."""
+        if B >= 2:
+            h = B // 2
+            halves = [(0, h), (h, B)]
+            outs = self._charm_decode_interleaved(
+                hyper_out, y_strs, halves, yH, yW, Cy)
+            return jnp.concatenate(outs, axis=0)
+        return self._charm_decode_interleaved(
+            hyper_out, y_strs, [(0, B)], yH, yW, Cy)[0]
+
+    def _charm_decode_interleaved(self, hyper_out, y_strs, halves,
+                                  yH, yW, Cy):
+        """Run one slice chain per (start, end) half, round-robin: while the
+        device computes half j's slice step, the host rANS-decodes half
+        j+1's symbols."""
         slice_ch = Cy // self.num_slices
         decoders = [RansDecoder(s) for s in y_strs]
-        y_hat_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
-
-        p0 = self._get_jit(("slice_p", 0, (B, yH, yW)),
-                           lambda: self._slice_params_fn(0))
-        mu, idx = p0(self.params, hyper_out, y_hat_prev)
+        state = []
+        for (s, e) in halves:
+            hb = e - s
+            y_prev = jnp.zeros((hb, yH, yW, 0), jnp.float32)
+            ho = hyper_out[s:e]
+            p0 = self._get_jit(("slice_p", 0, (hb, yH, yW)),
+                               lambda: self._slice_params_fn(0))
+            mu, idx = p0(self.params, ho, y_prev)
+            state.append([ho, y_prev, mu, idx, s, e])
 
         for i in range(self.num_slices):
-            idx_np = np.asarray(idx, np.int32)
-            sym = np.stack(list(self._pool.map(
-                lambda b: decoders[b]
-                .decode_stream(idx_np[b].reshape(-1), self.y_table)
-                .reshape(yH, yW, slice_ch), range(B))))
-            # upload int8 when the decoded symbols fit (the common case for
-            # natural images) — halves the per-slice h2d; jit retraces per
-            # dtype so the int16 fallback stays correct.
-            dt = np.int8 if np.abs(sym).max() < 128 else np.int16
-            sf = self._get_jit(("slice_s", i, (B, yH, yW)),
-                               lambda i=i: self._slice_step_fn(i))
-            y_hat_prev, mu, idx = sf(self.params, hyper_out, y_hat_prev,
-                                     jnp.asarray(sym.astype(dt)), mu)
-        return y_hat_prev
+            for st in state:
+                ho, y_prev, mu, idx, s, e = st
+                idx_np = np.asarray(idx, np.int32)
+                sym = np.stack(list(self._pool.map(
+                    lambda b: decoders[b]
+                    .decode_stream(idx_np[b - s].reshape(-1), self.y_table)
+                    .reshape(yH, yW, slice_ch), range(s, e))))
+                # upload int8 when the decoded symbols fit (the common case
+                # for natural images) — halves the per-slice h2d; jit
+                # retraces per dtype so the int16 fallback stays correct.
+                dt = np.int8 if np.abs(sym).max() < 128 else np.int16
+                sf = self._get_jit(("slice_s", i, (e - s, yH, yW)),
+                                   lambda i=i: self._slice_step_fn(i))
+                st[1], st[2], st[3] = sf(self.params, ho, y_prev,
+                                         jnp.asarray(sym.astype(dt)), mu)
+        return [st[1] for st in state]
