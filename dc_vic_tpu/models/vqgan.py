@@ -207,14 +207,16 @@ class VectorQuantizer(nn.Module):
     beta: float = 0.25
 
     def setup(self):
+        # torch parity: U(-1/n, 1/n) (ref: taming quantize.py VectorQuantizer2
+        # embedding.weight.data.uniform_). flax's uniform() is [0, scale), so
+        # shift a [0, 2/n) draw down by 1/n.
+        n = self.n_embed
         self.embedding = self.param(
             "embedding",
-            nn.initializers.uniform(scale=2.0 / self.n_embed),
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-1.0 / n, maxval=1.0 / n),
             (self.n_embed, self.embed_dim),
         )
-        # note: torch init is U(-1/n, 1/n); flax uniform is [0, scale) — the
-        # converter overwrites this with checkpoint weights, and fresh training
-        # recenters it; offset by -1/n for symmetry.
 
     def lookup(self, indices: jnp.ndarray) -> jnp.ndarray:
         """indices [B, H, W] -> latents [B, H, W, embed_dim]."""

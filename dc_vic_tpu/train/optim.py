@@ -120,6 +120,26 @@ def build_optimizer(opt_cfg: Dict, sched_cfg: Optional[Dict] = None,
     return tx
 
 
+def reset_schedule_counts(opt_state):
+    """Zero every schedule step counter inside an optimizer state, keeping
+    Adam moments intact. Implements the reference's ``load_scheduler: False``
+    cross-experiment knob (ref: rate_distortion_vq_code_trainer.py:267-271 —
+    optimizer state is loaded but the LR scheduler restarts from step 0)."""
+    def rec(x):
+        if isinstance(x, optax.ScaleByScheduleState):
+            return x._replace(count=jnp.zeros_like(x.count))
+        if isinstance(x, tuple) and hasattr(x, "_fields"):
+            return type(x)(*(rec(v) for v in x))
+        if isinstance(x, tuple):
+            return tuple(rec(v) for v in x)
+        if isinstance(x, list):
+            return [rec(v) for v in x]
+        if isinstance(x, dict):
+            return {k: rec(v) for k, v in x.items()}
+        return x
+    return rec(opt_state)
+
+
 # --------------------------------------------------------------------------
 # Partitioning
 # --------------------------------------------------------------------------

@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import serialization
 
 from ..data import HostDataLoader, build_dataset
 from ..metrics.image import calc_ms_ssim, calc_psnr
@@ -36,7 +37,7 @@ from ..utils import (
 )
 from ..utils.registry import TRAINER_REGISTRY
 from .losses import build_loss
-from .optim import build_optimizer
+from .optim import build_optimizer, reset_schedule_counts
 from .saver import Saver
 from .steps import BetaPolicy, TrainState, make_gan_step, make_rd_step
 
@@ -85,16 +86,47 @@ class Trainer:
         return jax.jit(lambda r: self.module.init(
             {"params": r}, x, is_train=False))(rng)
 
+    def _set_lpips(self):
+        """Build the calibrated LPIPS callable when perceptual loss is
+        configured (ref: src/losses/perceptual_loss.py:1-30 — lpips.LPIPS
+        net='alex'). Weights come from `loss.perceptual_loss.weights_path`
+        or top-level `lpips_weights`; without them the loss degrades to the
+        gradient-L1 proxy, loudly flagged here."""
+        self.lpips_fn = None
+        if "perceptual_loss" not in self.losses:
+            return
+        pl_cfg = dict((self.opt.get("loss") or {}).get("perceptual_loss") or {})
+        wpath = pl_cfg.get("weights_path") or self.opt.get("lpips_weights")
+        from ..metrics.feature_nets import load_lpips
+        self.lpips_fn = load_lpips(wpath, net=pl_cfg.get("net", "alex"))
+        calibrated = self.lpips_fn is not None
+        lvl = self.logger.info if calibrated else self.logger.warning
+        lvl(f"perceptual_loss calibrated={calibrated}"
+            + ("" if calibrated else
+               " — LPIPS weights missing, using gradient-L1 proxy"))
+
     def _set_state_and_step(self):
         opt = self.opt
         optim = opt.get("optim") or {}
         rng = jax.random.PRNGKey(opt.get("seed", 0))
         rng, init_rng, d_rng = jax.random.split(rng, 3)
         params = self._init_params(init_rng)
+        self._set_lpips()
+
+        # new_g_lr / new_d_lr cross-exp LR overrides take effect when the old
+        # optimizer state is carried over (ref: dual_cond_gan trainer :385-391
+        # — update_learning_rate after load_state_dict).
+        load_cfg = dict(opt.get("load_checkpoint") or {})
+        g_opt_cfg = dict(optim.get("g_optimizer", {"lr": 1e-4}))
+        d_opt_cfg = dict(optim.get("d_optimizer", optim.get("g_optimizer", {})))
+        if load_cfg.get("load_optimizer", True):
+            if load_cfg.get("new_g_lr") is not None:
+                g_opt_cfg["lr"] = float(load_cfg["new_g_lr"])
+            if load_cfg.get("new_d_lr") is not None:
+                d_opt_cfg["lr"] = float(load_cfg["new_d_lr"])
 
         clip = optim.get("clip_max_norm")
-        self.g_tx = build_optimizer(optim.get("g_optimizer", {"lr": 1e-4}),
-                                    optim.get("g_scheduler"), clip)
+        self.g_tx = build_optimizer(g_opt_cfg, optim.get("g_scheduler"), clip)
         self.aux_tx = build_optimizer(optim.get("aux_optimizer", {"lr": 1e-3}),
                                       None, None)
 
@@ -135,8 +167,7 @@ class Trainer:
             beta = jnp.array([0.0])
             d_params = jax.jit(lambda r, d: self.disc.init(
                 r, d, beta, beta))(d_rng, dummy)
-            self.d_tx = build_optimizer(optim.get("d_optimizer",
-                                                  optim.get("g_optimizer", {})),
+            self.d_tx = build_optimizer(d_opt_cfg,
                                         optim.get("d_scheduler"), clip)
             d_opt = self.d_tx.init(d_params)
 
@@ -155,10 +186,12 @@ class Trainer:
                 self.module, self.disc, self.losses,
                 self.g_tx, self.aux_tx, self.d_tx, policy, oasis=self.oasis,
                 mc_sampling=trainer_cfg.get("mc_sampling", False),
-                y_hat_cond=trainer_cfg.get("y_hat_cond", False))
+                y_hat_cond=trainer_cfg.get("y_hat_cond", False),
+                lpips_fn=self.lpips_fn)
         else:
             step_fn = make_rd_step(self.module, self.losses, self.g_tx,
-                                   self.aux_tx, policy)
+                                   self.aux_tx, policy,
+                                   lpips_fn=self.lpips_fn)
 
         from ..parallel.mesh import best_mesh_size
         self.mesh = make_mesh(best_mesh_size(self.batch_size))
@@ -176,7 +209,8 @@ class Trainer:
         self.loss_csv = CSVLogger(self.paths.loss_csv_path,
                                   ["iter", "total", "bpp", "distortion"])
         self.eval_csv = CSVLogger(self.paths.eval_csv_path,
-                                  ["iter", "bpp", "psnr", "ms_ssim", "vq_acc"])
+                                  ["iter", "beta_rate", "beta_vq",
+                                   "bpp", "psnr", "ms_ssim", "vq_acc"])
         self.meter = AvgMeter()
         # optional wandb sink (ref: base_trainer.py:85-99)
         self._wandb = None
@@ -205,21 +239,131 @@ class Trainer:
                                  step=jnp.asarray(start_iter, jnp.int32))
         tp = self.paths.checkpoint_path("training_state", start_iter)
         if os.path.exists(tp):
-            ts = Saver.load(tp, {"g_opt": host.g_opt, "aux_opt": host.aux_opt,
-                                 "step": host.step})
-            new_state = new_state.replace(g_opt=ts["g_opt"],
-                                          aux_opt=ts["aux_opt"])
+            raw = Saver.load(tp)
+            new_state = new_state.replace(
+                g_opt=serialization.from_state_dict(host.g_opt, raw["g_opt"]),
+                aux_opt=serialization.from_state_dict(host.aux_opt,
+                                                      raw["aux_opt"]))
+            if self.gan and "d_opt" in raw:
+                new_state = new_state.replace(
+                    d_opt=serialization.from_state_dict(host.d_opt,
+                                                        raw["d_opt"]))
+        dp = self.paths.checkpoint_path("discriminator", start_iter)
+        if self.gan and os.path.exists(dp):
+            new_state = new_state.replace(
+                d_params=Saver.load(dp, host.d_params))
         self.state = replicate(new_state, self.mesh)
         self.logger.info(f"resumed {self.opt.get('exp')} at iter {start_iter}")
 
+    @staticmethod
+    def _partial_restore(target, raw, logger, label: str):
+        """torch load_state_dict(strict=False) analog: copy leaves whose path
+        exists in both trees with matching shapes; keep fresh init elsewhere;
+        log missing/unexpected keys (ref: rate_distortion_vq_code_trainer.py
+        :249-251 strict=strict)."""
+        from flax import traverse_util
+        tgt_state = serialization.to_state_dict(target)
+        flat_t = traverse_util.flatten_dict(tgt_state)
+        flat_r = traverse_util.flatten_dict(raw)
+        merged, loaded = {}, 0
+        for k, v in flat_t.items():
+            r = flat_r.get(k)
+            if r is not None and getattr(r, "shape", None) == getattr(
+                    v, "shape", None):
+                merged[k] = r
+                loaded += 1
+            else:
+                merged[k] = v
+        missing = [k for k in flat_t if k not in flat_r]
+        unexpected = [k for k in flat_r if k not in flat_t]
+        if missing:
+            logger.warning(f"{label}: {len(missing)} missing keys "
+                           f"(kept init), e.g. {'/'.join(missing[0])}")
+        if unexpected:
+            logger.warning(f"{label}: {len(unexpected)} unexpected ckpt keys "
+                           f"ignored, e.g. {'/'.join(unexpected[0])}")
+        logger.info(f"{label}: loaded {loaded}/{len(flat_t)} leaves")
+        return serialization.from_state_dict(
+            target, traverse_util.unflatten_dict(merged))
+
     def _load_checkpoint(self, cfg: Dict):
-        path = cfg.get("path") or cfg.get("load_path")
-        if not path or not os.path.exists(path):
-            self.logger.warning(f"load_checkpoint path missing: {path}")
+        """Cross-experiment curriculum load with the reference's knobs
+        (ref: dual_cond_gan_distortion_vq_code_trainer.py:348-431,
+        rate_distortion_vq_code_trainer.py:216-276; used by
+        config/exp1_stage1_2.yaml:6-13 etc.):
+          exp/iter (or explicit path=...)  which checkpoint
+          strict                           partial param load when False
+          load_optimizer                   carry g/aux(/d) optimizer state
+          load_scheduler                   False -> restart LR schedule at 0
+          load_discriminator               warm-start D (+ its optimizer)
+          new_g_lr / new_d_lr              LR override (applied at build time,
+                                           see _set_state_and_step)
+        """
+        cfg = dict(cfg)
+        exp, itr = cfg.get("exp"), cfg.get("iter")
+        if exp is not None:
+            ph = PathHandler(self.opt.get("ckpt_root", "./checkpoint"), exp)
+            model_path = ph.checkpoint_path("comp_model", int(itr))
+            optim_path = ph.checkpoint_path("training_state", int(itr))
+            disc_path = ph.checkpoint_path("discriminator", int(itr))
+        else:
+            model_path = cfg.get("path") or cfg.get("load_path")
+            optim_path = cfg.get("training_state_path")
+            disc_path = cfg.get("discriminator_path")
+        strict = cfg.get("strict", True)
+        load_optimizer = cfg.get("load_optimizer", True)
+        load_scheduler = cfg.get("load_scheduler", True)
+        load_discriminator = cfg.get("load_discriminator", True)
+
+        if not model_path or not os.path.exists(model_path):
+            self.logger.warning(f"load_checkpoint path missing: {model_path}")
             return
-        params = Saver.load(path, jax.device_get(self.state.params))
-        self.state = self.state.replace(params=replicate(params, self.mesh))
-        self.logger.info(f"loaded weights from {path}")
+        host = jax.device_get(self.state)
+
+        raw = Saver.load(model_path)
+        if strict:
+            params = serialization.from_state_dict(host.params, raw)
+        else:
+            params = self._partial_restore(host.params, raw, self.logger,
+                                           "comp_model")
+        new_state = host.replace(params=params)
+        self.logger.info(f"loaded comp_model weights from {model_path}")
+
+        raw_ts = None
+        if load_optimizer and optim_path and os.path.exists(optim_path):
+            raw_ts = Saver.load(optim_path)
+            g_opt = serialization.from_state_dict(host.g_opt, raw_ts["g_opt"])
+            aux_opt = serialization.from_state_dict(host.aux_opt,
+                                                    raw_ts["aux_opt"])
+            if not load_scheduler:
+                g_opt = reset_schedule_counts(g_opt)
+            new_state = new_state.replace(g_opt=g_opt, aux_opt=aux_opt)
+            self.logger.info(f"loaded optimizer state from {optim_path}"
+                             + ("" if load_scheduler else " (scheduler reset)"))
+        elif load_optimizer:
+            self.logger.warning(
+                f"load_optimizer set but missing {optim_path}")
+        else:
+            self.logger.warning("optimizer/scheduler NOT loaded")
+
+        if self.gan and load_discriminator:
+            if disc_path and os.path.exists(disc_path):
+                new_state = new_state.replace(
+                    d_params=Saver.load(disc_path, host.d_params))
+                self.logger.info(f"loaded discriminator from {disc_path}")
+                if raw_ts is not None and "d_opt" in raw_ts:
+                    d_opt = serialization.from_state_dict(host.d_opt,
+                                                          raw_ts["d_opt"])
+                    if not load_scheduler:
+                        d_opt = reset_schedule_counts(d_opt)
+                    new_state = new_state.replace(d_opt=d_opt)
+            else:
+                self.logger.warning(
+                    f"load_discriminator set but missing {disc_path}")
+        elif self.gan:
+            self.logger.warning("discriminator NOT loaded")
+
+        self.state = replicate(new_state, self.mesh)
 
     # ------------------------------------------------------------------
     def train_loop(self):
@@ -298,11 +442,18 @@ class Trainer:
             tag = "" if corner is None else f" beta=({corner[0]},{corner[1]})"
             self.logger.info(f"[eval iter {itr}]{tag} " +
                              " ".join(f"{k}={v:.4f}" for k, v in cavg.items()))
-            avg = cavg  # last corner logged to CSV (max betas)
-        self.eval_csv.write({"iter": itr, **avg})
-        if self._wandb is not None:
-            self._wandb.log({f"eval/{k}": v for k, v in avg.items()},
-                            step=itr)
+            # one CSV row per beta corner, preserving the full rate/VQ
+            # trade-off curve over training (ref: dual_cond_rate_distortion
+            # trainer :202-233 records every corner).
+            brow = ({"beta_rate": "", "beta_vq": ""} if corner is None else
+                    {"beta_rate": corner[0], "beta_vq": corner[1]})
+            self.eval_csv.write({"iter": itr, **brow, **cavg})
+            if self._wandb is not None:
+                suffix = "" if corner is None else \
+                    f"/b{corner[0]:g}_{corner[1]:g}"
+                self._wandb.log({f"eval{suffix}/{k}": v
+                                 for k, v in cavg.items()}, step=itr)
+            avg = cavg
         return avg
 
     _eval_fwd_cache: Optional[Any] = None
@@ -320,12 +471,18 @@ class Trainer:
 
     def save(self, itr: int):
         host_state = jax.device_get(self.state)
+        training_state = {"g_opt": host_state.g_opt,
+                          "aux_opt": host_state.aux_opt,
+                          "step": host_state.step}
         tree = {"comp_model": host_state.params,
-                "training_state": {"g_opt": host_state.g_opt,
-                                   "aux_opt": host_state.aux_opt,
-                                   "step": host_state.step}}
-        if self.gan and self.opt.get("keep_discriminator", False):
+                "training_state": training_state}
+        if self.gan:
+            # GAN stages always persist D + its optimizer so the next
+            # curriculum stage can warm-start it (ref: dual_cond_gan
+            # trainer :320-346 — discriminator + d_optimizer are always
+            # part of the stage checkpoint).
             tree["discriminator"] = host_state.d_params
+            training_state["d_opt"] = host_state.d_opt
         paths = self.saver.save(tree, itr)
         self.logger.info(f"saved checkpoint at iter {itr}: {paths[0]}")
 
