@@ -42,6 +42,23 @@ if TYPE_CHECKING:  # type-only: models imports codec's siblings at runtime
 STRIDE = 64  # reflect-pad multiple (ref: base_model.py:30)
 
 
+class PendingImages:
+    """Handle to an in-flight decoded image batch: the device holds a FLAT
+    uint8 buffer (fast-path d2h) and the host reshapes/crops on fetch. Fetch
+    later to overlap the transfer with the next batch's compute."""
+
+    def __init__(self, data, meta):
+        self._data = data      # device flat buffer, or host np [B,H,W,3]
+        self._meta = meta      # (B, padH, padW, H, W) or None if already np
+
+    def fetch(self) -> np.ndarray:
+        if self._meta is None:
+            return self._data
+        B, padH, padW, H, W = self._meta
+        arr = np.asarray(self._data).reshape(B, padH, padW, 3)
+        return arr[:, :H, :W, :]
+
+
 def _pad_np(x: np.ndarray, stride: int = STRIDE) -> np.ndarray:
     """Reflect-pad to a stride multiple, preserving dtype (uint8 images stay
     uint8 so the h2d transfer is 4x smaller; normalization runs on device)."""
@@ -87,10 +104,14 @@ class Codec:
         return self._jit[key]
 
     # ------------------------------------------------------------------
-    def _encode_fn(self, include_latents: bool):
-        def f(params, x, b1, b2):
+    def _encode_fn(self, shape, include_latents: bool):
+        # Takes a FLAT uint8/f32 buffer: 1-D arrays cross the tunnel at the
+        # raw link rate, while NHWC uint8 arrays pay a ~4x tiled-layout
+        # penalty (see scripts/tunnel_bench.py).
+        def f(params, x_flat, b1, b2):
             return self.module.apply(
-                params, x, b1, b2, include_latents=include_latents,
+                params, x_flat.reshape(shape), b1, b2,
+                include_latents=include_latents,
                 method=self.module.encode_deterministic)
         return jax.jit(f)
 
@@ -122,9 +143,13 @@ class Codec:
         return jax.jit(lambda p, ho, prev, sym, mu: self.module.apply(
             p, i, ho, prev, sym, mu, method=self.module.charm_decode_step))
 
-    def _recon_fn(self):
-        return jax.jit(lambda p, y_hat, b1, b2: self.module.apply(
-            p, y_hat, b1, b2, method=self.module.reconstruct_uint8))
+    def _recon_fn(self, flat: bool = True):
+        # flat=True emits a 1-D uint8 buffer (fast-path d2h, see _encode_fn).
+        def f(p, y_hat, b1, b2):
+            img = self.module.apply(
+                p, y_hat, b1, b2, method=self.module.reconstruct_uint8)
+            return img.reshape(-1) if flat else img
+        return jax.jit(f)
 
     def _y_indexes_fn(self):
         return jax.jit(lambda p, sigma: self.module.apply(
@@ -160,8 +185,10 @@ class Codec:
             out = enc(self.params, jnp.asarray(x), lat, idx, b1, b2)
         else:
             enc = self._get_jit(("enc", x.shape, debug),
-                                lambda: self._encode_fn(debug))
-            out = enc(self.params, jnp.asarray(x), b1, b2)
+                                lambda: self._encode_fn(x.shape, debug))
+            out = enc(self.params,
+                      jnp.asarray(np.ascontiguousarray(x).reshape(-1)),
+                      b1, b2)
         # Start d2h only for the two fused buffers finalize reads (everything
         # else — y_symbols/y_indexes fallback planes, debug latents — stays
         # on device unless actually fetched).
@@ -269,9 +296,9 @@ class Codec:
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
                        img_size: Tuple[int, int], beta_rate: float,
                        beta_vq: float, defer_fetch: bool = False) -> np.ndarray:
-        """defer_fetch=True returns (device uint8 array, (H, W)) with the d2h
-        copy already started — fetch with np.asarray(...)[:, :H, :W] later to
-        overlap the transfer with the next batch's compute."""
+        """defer_fetch=True returns a PendingImages handle with the d2h copy
+        already started — call .fetch() later to overlap the transfer with
+        the next batch's compute."""
         H, W = img_size
         B = len(z_strs)
         padH = -(-H // self.model_stride) * self.model_stride
@@ -312,17 +339,16 @@ class Codec:
         if max(H, W) > SPLIT_RESOLUTION:
             fake = self._split_reconstruct(y_hat, b1, b2, B, padH, padW)
             fake = fake[:, :H, :W, :]
-            return (fake, (H, W)) if defer_fetch else fake
+            return PendingImages(fake, None) if defer_fetch else fake
 
-        recon = self._get_jit(("recon", (B, yH, yW, Cy)), self._recon_fn)
-        fake = recon(self.params, y_hat, b1, b2)
+        recon = self._get_jit(("recon_flat", (B, yH, yW, Cy)), self._recon_fn)
+        fake = recon(self.params, y_hat, b1, b2)  # flat uint8 [B*padH*padW*3]
         try:
             fake.copy_to_host_async()
         except AttributeError:
             pass
-        if defer_fetch:
-            return fake, (H, W)
-        return np.asarray(fake)[:, :H, :W, :]
+        pending = PendingImages(fake, (B, padH, padW, H, W))
+        return pending if defer_fetch else pending.fetch()
 
     def verify_roundtrip(self, results: List[Dict],
                          string_lists: List[List[bytes]],
@@ -396,12 +422,13 @@ class Codec:
                              stitch_tiles)
         y_np = np.asarray(y_hat)
         tiles, tops, lefts = extract_tiles(y_np, DEC_WINDOW_Y, DEC_STRIDE_Y)
-        recon = self._get_jit(("recon", (B, DEC_WINDOW_Y, DEC_WINDOW_Y,
-                                         y_np.shape[-1])), self._recon_fn)
+        recon = self._get_jit(("recon_flat", (B, DEC_WINDOW_Y, DEC_WINDOW_Y,
+                                              y_np.shape[-1])), self._recon_fn)
         T = tiles.shape[0] // B
+        px = DEC_WINDOW_Y * self.y_stride
         outs = [np.asarray(recon(self.params,
                                  jnp.asarray(tiles[k * B:(k + 1) * B]),
-                                 b1, b2))
+                                 b1, b2)).reshape(B, px, px, 3)
                 for k in range(T)]
         return stitch_tiles(
             np.concatenate(outs, axis=0), (B, padH, padW, 3),

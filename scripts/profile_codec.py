@@ -73,9 +73,9 @@ def main():
                 res = codec.compress_finalize(handle)
             strings = [r["string_list"] for r in res]
             with timer.stage("3_decode_z+hyper+charm+recon"):
-                dev, (hh, ww) = codec.decompress(strings, defer_fetch=True)
+                pending = codec.decompress(strings, defer_fetch=True)
             with timer.stage("4_image_d2h"):
-                _ = np.asarray(dev)[:, :hh, :ww]
+                _ = pending.fetch()
     timer.log(logger)
     total = sum(v["mean_sec"] for v in timer.report().values())
     logger.info(f"end-to-end: {total:.3f}s / batch -> {B / total:.2f} img/s")
