@@ -1,0 +1,154 @@
+"""Device-side interleaved rANS: roundtrip, escapes, packing, and rate.
+
+Covers SURVEY hard-part #1 for the tpu stream format the same way
+tests/test_rans.py covers the CompressAI-format C coder: exhaustive
+self-consistency plus adversarial symbol ranges (|sym| >= 128 exercises the
+escape path and the int16-vs-int8 upload concern from round 1).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dc_vic_tpu.ops.cdf import build_cdf_rows
+from dc_vic_tpu.ops.rans import CdfTable
+from dc_vic_tpu.ops.rans_device import (
+    DeviceCdfTable,
+    decode_section,
+    encode_sections,
+    pack_streams,
+    section_lanes,
+)
+
+
+def _gaussian_table(scales=(0.5, 1.0, 4.0, 16.0)) -> CdfTable:
+    from dc_vic_tpu.codec.gaussian import GaussianConditional
+    return GaussianConditional().build_cdf_table(np.asarray(scales))
+
+
+def _roundtrip(sym, idx, table, n_sections=1):
+    """sym/idx [B, N] -> per-image packed bytes -> decoded symbols."""
+    B, N = sym.shape
+    ns = N // n_sections
+    L = section_lanes(ns)
+    dt = DeviceCdfTable(table)
+    vals, masks = [], []
+    for s in range(n_sections):
+        sl = slice(s * ns, (s + 1) * ns)
+        v, m = encode_sections(
+            jnp.asarray(sym[:, sl].reshape(B, -1, L)),
+            jnp.asarray(idx[:, sl].reshape(B, -1, L)), dt)
+        vals.append(v)
+        masks.append(m)
+    packed, counts = pack_streams(jnp.concatenate(vals, axis=1),
+                                  jnp.concatenate(masks, axis=1))
+    counts = np.asarray(counts)
+    packed = np.asarray(packed)[: int(counts.sum())]
+
+    # host splits per image (bytes contract), then re-concats for decode —
+    # the exact shape of the driver flow
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    strings = [packed[base[b]: base[b] + counts[b]].tobytes()
+               for b in range(B)]
+    words = np.frombuffer(b"".join(strings), np.uint16)
+
+    cursor = jnp.zeros((B,), jnp.int32)
+    out = []
+    for s in range(n_sections):
+        sl = slice(s * ns, (s + 1) * ns)
+        dec, cursor, x_fin = decode_section(
+            jnp.asarray(words), jnp.asarray(base), cursor, None,
+            jnp.asarray(idx[:, sl].reshape(B, -1, L)), dt)
+        out.append(np.asarray(dec).reshape(B, -1))
+        # all lanes must drain to the initial encoder state
+        assert np.all(np.asarray(x_fin) == 1 << 16)
+    assert np.array_equal(np.asarray(cursor), counts)
+    return np.concatenate(out, axis=1), sum(len(s) for s in strings)
+
+
+def test_roundtrip_inrange():
+    table = _gaussian_table()
+    rng = np.random.default_rng(0)
+    B, N = 3, 512
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    scale = np.asarray([0.5, 1.0, 4.0, 16.0])[idx]
+    sym = np.round(rng.normal(0, scale)).astype(np.int32)
+    dec, _ = _roundtrip(sym, idx, table)
+    assert np.array_equal(dec, sym)
+
+
+def test_roundtrip_escapes_and_large_symbols():
+    table = _gaussian_table()
+    rng = np.random.default_rng(1)
+    B, N = 2, 256
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    sym = rng.integers(-5, 6, (B, N)).astype(np.int32)
+    # far outside every row's support: |sym| >= 128 up to +-20000
+    hot = rng.random((B, N)) < 0.15
+    sym = np.where(hot, rng.integers(-20000, 20000, (B, N)), sym)
+    sym = sym.astype(np.int32)
+    sym[0, 0] = 19999
+    sym[0, 1] = -19999
+    sym[0, 2] = 128
+    sym[0, 3] = -128
+    dec, _ = _roundtrip(sym, idx, table)
+    assert np.array_equal(dec, sym)
+
+
+def test_roundtrip_multi_section_cursor_carry():
+    """Consecutive sections of one stream (the ChARM slice layout) share the
+    per-image cursor."""
+    table = _gaussian_table()
+    rng = np.random.default_rng(2)
+    B, N = 2, 384
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    sym = np.round(rng.normal(0, 2.0, (B, N))).astype(np.int32)
+    dec, _ = _roundtrip(sym, idx, table, n_sections=3)
+    assert np.array_equal(dec, sym)
+
+
+def test_rate_close_to_host_coder():
+    """Same CDF rows => coded size within flush overhead of the C coder."""
+    from dc_vic_tpu.ops.rans import encode_with_indexes
+    table = _gaussian_table()
+    rng = np.random.default_rng(3)
+    B, N = 2, 4096
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    scale = np.asarray([0.5, 1.0, 4.0, 16.0])[idx]
+    sym = np.round(rng.normal(0, scale)).astype(np.int32)
+    _, tpu_bytes = _roundtrip(sym, idx, table)
+    host_bytes = sum(
+        len(encode_with_indexes(sym[b].reshape(-1), idx[b].reshape(-1),
+                                table)) for b in range(B))
+    L = section_lanes(N)
+    overhead = B * 4 * L
+    assert tpu_bytes <= host_bytes + overhead + 64
+    assert tpu_bytes >= host_bytes - 64  # same probabilities, no free lunch
+
+
+def test_lane_divisibility():
+    assert section_lanes(49152) == 128
+    assert section_lanes(192) == 64
+    assert section_lanes(18432) == 128
+    for n in (6, 50, 100, 352):
+        L = section_lanes(n)
+        assert n % L == 0 and 1 <= L <= 128
+
+
+def test_entropy_bottleneck_table_roundtrip():
+    """z-style table: one row per channel, via the factorized bottleneck."""
+    import jax
+
+    from dc_vic_tpu.codec.bottleneck import (
+        EntropyBottleneck, build_bottleneck_cdf)
+    eb = EntropyBottleneck(8)
+    params = jax.jit(lambda r, x: eb.init(r, x, is_train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
+    table = build_bottleneck_cdf(eb, params)
+    rng = np.random.default_rng(4)
+    B, N = 2, 640
+    idx = np.broadcast_to(np.arange(8, dtype=np.int32), (B, N // 8, 8)
+                          ).reshape(B, N).copy()
+    sym = rng.integers(-30, 30, (B, N)).astype(np.int32)
+    dec, _ = _roundtrip(sym, idx, table)
+    assert np.array_equal(dec, sym)
