@@ -15,16 +15,21 @@ class HeaderHandler:
     SIZE = 6
 
     @staticmethod
-    def encode(img_size: Tuple[int, int], max_abs_y: int, quality_ind: int) -> bytes:
+    def encode(img_size: Tuple[int, int], max_abs_y: int, quality_ind: int,
+               tpu_format: bool = False) -> bytes:
+        """quality byte bit 7 marks the device-coded 'tpu' stream format
+        (ops/rans_device.py); bits 0-6 are the quality index."""
         H, W = img_size
+        qb = int(quality_ind) | (0x80 if tpu_format else 0)
         return struct.pack(
-            "<HHBB", H, W, min(255, max(0, int(max_abs_y))), int(quality_ind))
+            "<HHBB", H, W, min(255, max(0, int(max_abs_y))), qb)
 
     @staticmethod
     def decode(header: bytes) -> Dict:
-        H, W, max_sample, quality_ind = struct.unpack("<HHBB", header[:6])
+        H, W, max_sample, qb = struct.unpack("<HHBB", header[:6])
         return {"img_size": (H, W), "max_sample": max_sample,
-                "quality_ind": quality_ind}
+                "quality_ind": qb & 0x7F,
+                "stream_format": "tpu" if qb & 0x80 else "compressai"}
 
 
 def save_byte_strings(path: str, strings: List[bytes]) -> None:

@@ -32,6 +32,13 @@ from ..ops.rans import (
     decode_with_indexes,
     encode_with_indexes,
 )
+from ..ops.rans_device import (
+    DeviceCdfTable,
+    decode_section,
+    encode_sections,
+    pack_streams,
+    section_lanes,
+)
 from .bottleneck import EntropyBottleneck, build_bottleneck_cdf
 from .container import HeaderHandler
 from .gaussian import GaussianConditional, get_scale_table
@@ -71,12 +78,25 @@ def _pad_np(x: np.ndarray, stride: int = STRIDE) -> np.ndarray:
 
 class Codec:
     """Stateful codec around a built model: tables + jitted graph cache
-    (equivalent of codec_setup + compress/decompress in the reference)."""
+    (equivalent of codec_setup + compress/decompress in the reference).
 
-    def __init__(self, spec: "CompModelSpec", params):
+    stream_format:
+      * "tpu" (native): entropy coding runs ON the device
+        (ops/rans_device.py) — symbol planes never cross the host link, and
+        the whole ChARM decode chain is one jitted graph. Costs 4 bytes per
+        interleave lane per stream in rate (see that module's docstring).
+      * "compressai": byte-compatible with the reference's compressai.ans
+        streams (ops/rans/rans.cpp); entropy coding on the host.
+    Decode auto-detects the format from the header, so one Codec can read
+    both."""
+
+    def __init__(self, spec: "CompModelSpec", params,
+                 stream_format: str = "tpu"):
+        assert stream_format in ("tpu", "compressai"), stream_format
         self.spec = spec
         self.module = spec.module
         self.params = params
+        self.stream_format = stream_format
         # architecture constants (the reference probes these with a dummy run,
         # hyperprior_dc_vic_model.py:75-89; static here: 4 stride-2 convs in
         # the encoder, 2 in the hyperencoder)
@@ -97,6 +117,19 @@ class Codec:
         self.y_table: CdfTable = gaussian.build_cdf_table(get_scale_table())
         self.num_slices = (self.module.context_cfg or {}).get("num_slices", 6) \
             if self.module.use_charm else 0
+        # device-resident tables for the tpu stream format (lazy: the LUTs
+        # cost ~tens of MB of HBM, only uploaded when actually used)
+        self._dtables: Dict[str, DeviceCdfTable] = {}
+
+    def _dtable(self, which: str) -> DeviceCdfTable:
+        # Must be materialized OUTSIDE any trace (the tables are device
+        # constants, not graph values) — see _ensure_dtables.
+        return self._dtables[which]
+
+    def _ensure_dtables(self):
+        if not self._dtables:
+            self._dtables["y"] = DeviceCdfTable(self.y_table)
+            self._dtables["z"] = DeviceCdfTable(self.z_table)
 
     def _get_jit(self, key, make):
         if key not in self._jit:
@@ -155,6 +188,176 @@ class Codec:
         return jax.jit(lambda p, sigma: self.module.apply(
             p, sigma, method=self.module.y_indexes))
 
+    # --------------------------------------------------- tpu-format graphs
+    # Word buffers that cross the host link are chunk-quantized so the jit
+    # caches stay small: the big graphs always see fixed-capacity buffers.
+    _WORD_CHUNK = 1 << 14  # 16k words = 32 KB
+
+    def _tpu_y_sections(self, Cy):
+        """y stream sections (channel ranges) in decode order: one per ChARM
+        slice, or a single section for non-charm models."""
+        if self.module.use_charm:
+            sc = Cy // self.num_slices
+            return [(s * sc, (s + 1) * sc) for s in range(self.num_slices)]
+        return [(0, Cy)]
+
+    def _tpu_pack(self, y_sym, y_idx, z_sym):
+        """Traced: device-entropy-encode the symbol planes into two packed
+        word buffers (per-image y and z streams; ChARM slice streams stored
+        back to back inside each y stream)."""
+        B, yH, yW, Cy = y_sym.shape
+        vals, masks = [], []
+        for lo, hi in self._tpu_y_sections(Cy):
+            sec_s = y_sym[..., lo:hi].reshape(B, -1)
+            sec_i = y_idx[..., lo:hi].reshape(B, -1)
+            L = section_lanes(sec_s.shape[1])
+            v, m = encode_sections(sec_s.reshape(B, -1, L),
+                                   sec_i.reshape(B, -1, L), self._dtable("y"))
+            vals.append(v)
+            masks.append(m)
+        packed_y, y_counts = pack_streams(jnp.concatenate(vals, axis=1),
+                                          jnp.concatenate(masks, axis=1))
+        Cz = z_sym.shape[-1]
+        zN = z_sym.shape[1] * z_sym.shape[2] * Cz
+        Lz = section_lanes(zN)
+        z_idx = jnp.broadcast_to(
+            jnp.arange(Cz, dtype=jnp.int32),
+            (B,) + z_sym.shape[1:3] + (Cz,)).reshape(B, -1, Lz)
+        v, m = encode_sections(z_sym.reshape(B, -1, Lz), z_idx,
+                               self._dtable("z"))
+        packed_z, z_counts = pack_streams(v, m)
+        return packed_y, y_counts, packed_z, z_counts
+
+    def _tpu_finish_encode(self, out, include_latents):
+        packed_y, y_counts, packed_z, z_counts = self._tpu_pack(
+            out["y_symbols"].astype(jnp.int32),
+            out["y_indexes"].astype(jnp.int32),
+            out["z_symbols"].astype(jnp.int32))
+        # one fused stats buffer (single small d2h): bit estimates + word
+        # counts (exact in f32: counts < 2^24)
+        stats = jnp.concatenate([
+            out["y_bits"], out["z_bits"],
+            out["max_abs_y"][None], out["max_abs_sym"][None],
+            y_counts.astype(jnp.float32), z_counts.astype(jnp.float32)])
+        res = dict(stats=stats, packed_y=packed_y, packed_z=packed_z)
+        if include_latents:
+            res.update(y_hat=out["y_hat"], z_hat=out["z_hat"])
+        return res
+
+    def _encode_tpu_fn(self, shape, include_latents: bool):
+        def f(params, x_flat, b1, b2):
+            out = self.module.apply(
+                params, x_flat.reshape(shape), b1, b2,
+                include_latents=include_latents,
+                method=self.module.encode_deterministic)
+            return self._tpu_finish_encode(out, include_latents)
+        return jax.jit(f)
+
+    def _encode_tpu_from_vq_fn(self, include_latents: bool):
+        def f(params, x, lat, idx, b1, b2):
+            out = self.module.apply(
+                params, x, lat, idx, b1, b2,
+                include_latents=include_latents,
+                method=self.module.encode_deterministic_from_vq)
+            return self._tpu_finish_encode(out, include_latents)
+        return jax.jit(f)
+
+    def _decode_tpu_fn(self, B, zH, zW, yH, yW, recon: bool,
+                       include_latents: bool):
+        """The whole decompress as ONE device graph: z entropy decode ->
+        hyperdecoder -> (autoregressive ChARM slice chain with in-graph
+        entropy decode | gaussian decode) -> optional reconstruction.
+        Zero host round trips inside the slice chain (the reference pays a
+        CPU<->GPU sync per slice, minnen20_charm_context_model.py:179-203)."""
+        Cz = self.module.bottleneck_z
+        Cy = self.module.bottleneck_y
+
+        def f(params, z_words, z_base, y_words, y_base, b1, b2):
+            zN = zH * zW * Cz
+            Lz = section_lanes(zN)
+            z_idx = jnp.broadcast_to(
+                jnp.arange(Cz, dtype=jnp.int32),
+                (B, zH, zW, Cz)).reshape(B, -1, Lz)
+            z_sym, _, _ = decode_section(
+                z_words, z_base, jnp.zeros((B,), jnp.int32), None, z_idx,
+                self._dtable("z"))
+            hyper_out, z_hat = self.module.apply(
+                params, z_sym.reshape(B, zH, zW, Cz),
+                method=self.module.hyper_decode)
+
+            cursor = jnp.zeros((B,), jnp.int32)
+            if self.module.use_charm:
+                sc = Cy // self.num_slices
+                L = section_lanes(yH * yW * sc)
+                y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
+                for i in range(self.num_slices):
+                    mu, idx = self.module.apply(
+                        params, i, hyper_out, y_prev,
+                        method=self.module.charm_slice_params)
+                    sym, cursor, _ = decode_section(
+                        y_words, y_base, cursor, None,
+                        idx.astype(jnp.int32).reshape(B, -1, L),
+                        self._dtable("y"))
+                    y_slice = self.module.apply(
+                        params, i, hyper_out, y_prev,
+                        sym.reshape(B, yH, yW, sc), mu,
+                        method=self.module.charm_slice_reconstruct)
+                    y_prev = jnp.concatenate([y_prev, y_slice], axis=-1)
+                y_hat = y_prev
+            else:
+                means, sigma = jnp.split(hyper_out, 2, axis=-1)
+                idx = self.module.apply(params, sigma,
+                                        method=self.module.y_indexes)
+                L = section_lanes(yH * yW * Cy)
+                sym, cursor, _ = decode_section(
+                    y_words, y_base, cursor, None,
+                    idx.astype(jnp.int32).reshape(B, -1, L),
+                    self._dtable("y"))
+                y_hat = (sym.reshape(B, yH, yW, Cy).astype(means.dtype)
+                         + means)
+
+            res = {}
+            if include_latents:
+                res.update(y_hat=y_hat, z_hat=z_hat)
+            if recon:
+                img = self.module.apply(
+                    params, y_hat, b1, b2,
+                    method=self.module.reconstruct_uint8)
+                res["img"] = img.reshape(-1)
+            elif "y_hat" not in res:
+                res["y_hat"] = y_hat
+            return res
+        return jax.jit(f)
+
+    def _upload_words(self, strings: List[bytes], cap: int):
+        """Host bytes -> device word buffer of static capacity `cap`, with
+        per-image word offsets. The exact-size upload is chunk-quantized and
+        a tiny pad graph (keyed by chunk count) expands it to `cap`, so the
+        big decode graphs compile once per (B, resolution)."""
+        lens = np.array([len(s) // 2 for s in strings], np.int64)
+        base = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int32)
+        words = np.frombuffer(b"".join(strings), np.uint16)
+        n = len(words)
+        ch = self._WORD_CHUNK
+        padded = np.zeros((min((n + ch - 1) // ch * ch, cap),), np.uint16)
+        padded[:n] = words[:cap]
+        pad = self._get_jit(("wpad", padded.shape[0], cap),
+                            lambda: jax.jit(lambda w: jnp.zeros(
+                                (cap,), jnp.uint16).at[:w.shape[0]].set(w)))
+        return pad(jnp.asarray(padded)), jnp.asarray(base)
+
+    def _tpu_caps(self, B, yH, yW, zH, zW):
+        """Static worst-case word capacities for the y and z buffers."""
+        from ..ops.rans_device import WORST_WORDS_PER_SYM as WPS
+        Cy, Cz = self.module.bottleneck_y, self.module.bottleneck_z
+        y_cap = 0
+        for lo, hi in self._tpu_y_sections(Cy):
+            N = yH * yW * (hi - lo)
+            y_cap += 2 * section_lanes(N) + WPS * N
+        zN = zH * zW * Cz
+        z_cap = 2 * section_lanes(zN) + WPS * zN
+        return B * y_cap, B * z_cap
+
     # ------------------------------------------------------------------
     def compress_dispatch(self, images: np.ndarray,
                           quality_ind: Optional[int] = None,
@@ -178,30 +381,40 @@ class Codec:
         b2 = jnp.array([beta_vq], jnp.float32)
 
         from .tiling import SPLIT_RESOLUTION
+        tpu = self.stream_format == "tpu"
+        if tpu:
+            self._ensure_dtables()
         if max(x.shape[1], x.shape[2]) > SPLIT_RESOLUTION:
             lat, idx = self._split_vq_encode(x)
-            enc = self._get_jit(("enc_vq", x.shape, debug),
-                                lambda: self._encode_from_vq_fn(debug))
+            enc = self._get_jit(
+                ("enc_vq", tpu, x.shape, debug),
+                lambda: (self._encode_tpu_from_vq_fn(debug) if tpu
+                         else self._encode_from_vq_fn(debug)))
             out = enc(self.params, jnp.asarray(x), lat, idx, b1, b2)
         else:
-            enc = self._get_jit(("enc", x.shape, debug),
-                                lambda: self._encode_fn(x.shape, debug))
+            enc = self._get_jit(
+                ("enc", tpu, x.shape, debug),
+                lambda: (self._encode_tpu_fn(x.shape, debug) if tpu
+                         else self._encode_fn(x.shape, debug)))
             out = enc(self.params,
                       jnp.asarray(np.ascontiguousarray(x).reshape(-1)),
                       b1, b2)
-        # Start d2h only for the two fused buffers finalize reads (everything
+        # Start d2h only for the fused buffers finalize reads (everything
         # else — y_symbols/y_indexes fallback planes, debug latents — stays
         # on device unless actually fetched).
         for k in ("sym_plane", "stats"):
             try:
                 out[k].copy_to_host_async()
-            except AttributeError:
+            except (AttributeError, KeyError):
                 break
         return dict(out=out, B=B, H=H, W=W, quality_ind=quality_ind,
-                    debug=debug)
+                    debug=debug, fmt="tpu" if tpu else "compressai")
 
     def compress_finalize(self, handle: Dict) -> List[Dict]:
-        """Phase 2: pull symbol planes and run the host rANS encode."""
+        """Phase 2: pull the coded streams (tpu format) or symbol planes +
+        host rANS encode (compressai format)."""
+        if handle.get("fmt") == "tpu":
+            return self._finalize_tpu(handle)
         out = handle["out"]
         B, H, W = handle["B"], handle["H"], handle["W"]
         quality_ind = handle["quality_ind"]
@@ -268,6 +481,48 @@ class Codec:
             results.append(r)
         return results
 
+    def _finalize_tpu(self, handle: Dict) -> List[Dict]:
+        """Fetch the device-coded streams: one small stats read, then the
+        packed word buffers sliced to their real length (chunk-quantized so
+        the slice executables cache)."""
+        out = handle["out"]
+        B, H, W = handle["B"], handle["H"], handle["W"]
+        stats = np.asarray(out["stats"])
+        y_bits, z_bits = stats[:B], stats[B:2 * B]
+        max_abs_y = int(stats[2 * B])
+        y_counts = stats[2 * B + 2: 2 * B + 2 + B].astype(np.int64)
+        z_counts = stats[2 * B + 2 + B: 2 * B + 2 + 2 * B].astype(np.int64)
+        ch = self._WORD_CHUNK
+
+        def fetch(packed, total):
+            n = min(-(-int(total) // ch) * ch, packed.shape[0])
+            return np.asarray(packed[:n])
+
+        py = fetch(out["packed_y"], y_counts.sum())
+        pz = fetch(out["packed_z"], z_counts.sum())
+        y_off = np.concatenate([[0], np.cumsum(y_counts)])
+        z_off = np.concatenate([[0], np.cumsum(z_counts)])
+
+        num_pixel = H * W
+        results = []
+        for b in range(B):
+            header = HeaderHandler.encode((H, W), max_abs_y,
+                                          handle["quality_ind"],
+                                          tpu_format=True)
+            r = dict(
+                string_list=[header,
+                             pz[z_off[b]:z_off[b + 1]].tobytes(),
+                             py[y_off[b]:y_off[b + 1]].tobytes()],
+                pred_y_bpp=float(y_bits[b]) / num_pixel,
+                pred_z_bpp=float(z_bits[b]) / num_pixel,
+                num_pixel=num_pixel,
+            )
+            if handle["debug"]:
+                r["y_hat"] = np.asarray(out["y_hat"][b])
+                r["z_hat"] = np.asarray(out["z_hat"][b])
+            results.append(r)
+        return results
+
     def compress(self, images: np.ndarray, quality_ind: Optional[int] = None,
                  beta_rate: Optional[float] = None,
                  beta_vq: Optional[float] = None,
@@ -286,16 +541,20 @@ class Codec:
         headers = [HeaderHandler.decode(s[0]) for s in string_lists]
         H, W = headers[0]["img_size"]
         q = headers[0]["quality_ind"]
+        fmt = headers[0]["stream_format"]
         assert all(h["img_size"] == (H, W) for h in headers)
         assert all(h["quality_ind"] == q for h in headers)
+        assert all(h["stream_format"] == fmt for h in headers)
         beta_rate, beta_vq = self.spec.quality_betas(q)
         return self.decompress_raw(
             [s[1] for s in string_lists], [s[2] for s in string_lists],
-            (H, W), beta_rate, beta_vq, defer_fetch=defer_fetch)
+            (H, W), beta_rate, beta_vq, defer_fetch=defer_fetch,
+            stream_format=fmt)
 
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
                        img_size: Tuple[int, int], beta_rate: float,
-                       beta_vq: float, defer_fetch: bool = False) -> np.ndarray:
+                       beta_vq: float, defer_fetch: bool = False,
+                       stream_format: Optional[str] = None) -> np.ndarray:
         """defer_fetch=True returns a PendingImages handle with the d2h copy
         already started — call .fetch() later to overlap the transfer with
         the next batch's compute."""
@@ -307,6 +566,10 @@ class Codec:
         yH, yW = padH // self.y_stride, padW // self.y_stride
         Cz = self.module.bottleneck_z
         Cy = self.module.bottleneck_y
+
+        if (stream_format or self.stream_format) == "tpu":
+            return self._decompress_tpu(z_strs, y_strs, (H, W), beta_rate,
+                                        beta_vq, defer_fetch)
 
         # z: factorized decode, one shot per image (parallel across images)
         z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
@@ -350,6 +613,48 @@ class Codec:
         pending = PendingImages(fake, (B, padH, padW, H, W))
         return pending if defer_fetch else pending.fetch()
 
+    def _decompress_tpu(self, z_strs: List[bytes], y_strs: List[bytes],
+                        img_size: Tuple[int, int], beta_rate: float,
+                        beta_vq: float, defer_fetch: bool = False,
+                        include_latents: bool = False):
+        """Decode device-coded streams: upload the word buffers, run ONE
+        jitted graph (z decode + hyper + ChARM chain + reconstruction),
+        download flat uint8 pixels."""
+        H, W = img_size
+        B = len(z_strs)
+        self._ensure_dtables()
+        padH = -(-H // self.model_stride) * self.model_stride
+        padW = -(-W // self.model_stride) * self.model_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        y_cap, z_cap = self._tpu_caps(B, yH, yW, zH, zW)
+        y_words, y_base = self._upload_words(y_strs, y_cap)
+        z_words, z_base = self._upload_words(z_strs, z_cap)
+        b1 = jnp.array([beta_rate], jnp.float32)
+        b2 = jnp.array([beta_vq], jnp.float32)
+
+        from .tiling import SPLIT_RESOLUTION
+        split = max(H, W) > SPLIT_RESOLUTION
+        recon = not split and not include_latents
+        fn = self._get_jit(
+            ("tpu_dec", B, zH, zW, yH, yW, recon, include_latents),
+            lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, recon,
+                                        include_latents))
+        out = fn(self.params, z_words, z_base, y_words, y_base, b1, b2)
+        if include_latents:
+            return out
+        if split:
+            fake = self._split_reconstruct(out["y_hat"], b1, b2, B,
+                                           padH, padW)[:, :H, :W, :]
+            return PendingImages(fake, None) if defer_fetch else fake
+        img = out["img"]
+        try:
+            img.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending = PendingImages(img, (B, padH, padW, H, W))
+        return pending if defer_fetch else pending.fetch()
+
     def verify_roundtrip(self, results: List[Dict],
                          string_lists: List[List[bytes]],
                          img_size: Tuple[int, int]) -> bool:
@@ -359,6 +664,19 @@ class Codec:
         results from compress(..., debug=True)."""
         H, W = img_size
         B = len(string_lists)
+        fmt = HeaderHandler.decode(string_lists[0][0])["stream_format"]
+        if fmt == "tpu":
+            hdr = HeaderHandler.decode(string_lists[0][0])
+            br, bv = self.spec.quality_betas(hdr["quality_ind"])
+            out = self._decompress_tpu(
+                [s[1] for s in string_lists], [s[2] for s in string_lists],
+                (H, W), br, bv, include_latents=True)
+            y_hat = np.asarray(out["y_hat"])
+            z_hat = np.asarray(out["z_hat"])
+            return all(
+                np.array_equal(y_hat[b], r["y_hat"])
+                and np.array_equal(z_hat[b], r["z_hat"])
+                for b, r in enumerate(results))
         padH = -(-H // self.model_stride) * self.model_stride
         padW = -(-W // self.model_stride) * self.model_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride

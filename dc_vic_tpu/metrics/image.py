@@ -72,7 +72,7 @@ def _ssim_components(x, y, win, data_range: float = 1.0):
 def ssim(x: jnp.ndarray, y: jnp.ndarray, win_size: int = 11,
          win_sigma: float = 1.5) -> jnp.ndarray:
     """Single-scale SSIM per batch element; inputs in [0, 1]."""
-    win = _fspecial_gauss_1d(win_size, win_sigma)
+    win = _fspecial_gauss_1d(win_size, win_sigma).astype(x.dtype)
     s, _ = _ssim_components(x, y, win)
     return s
 
@@ -85,19 +85,25 @@ def ms_ssim(x: jnp.ndarray, y: jnp.ndarray, win_size: int = 11,
             win_sigma: float = 1.5) -> jnp.ndarray:
     """Multi-scale SSIM per batch element; inputs NHWC in [0, 1].
     Requires min(H, W) > (win_size-1) * 2^4."""
-    win = _fspecial_gauss_1d(win_size, win_sigma)
-    weights = jnp.asarray(_MSSSIM_WEIGHTS)
+    win = _fspecial_gauss_1d(win_size, win_sigma).astype(x.dtype)
+    weights = jnp.asarray(_MSSSIM_WEIGHTS, x.dtype)
     vals = []
     for i in range(len(_MSSSIM_WEIGHTS)):
         s, cs = _ssim_components(x, y, win)
         vals.append(s if i == len(_MSSSIM_WEIGHTS) - 1 else cs)
         if i < len(_MSSSIM_WEIGHTS) - 1:
+            # pytorch_msssim convention: odd dims are zero-padded on BOTH
+            # sides before the 2x2 average pool, zeros included in the mean
+            pad = ((0, 0), (x.shape[1] % 2,) * 2, (x.shape[2] % 2,) * 2,
+                   (0, 0))
             x = jax.lax.reduce_window(
-                x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+                x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), pad) / 4.0
             y = jax.lax.reduce_window(
-                y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+                y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), pad) / 4.0
     vals = jnp.stack(vals, axis=0)  # [levels, B]
-    vals = jnp.clip(vals, 1e-6, None)  # guard against negatives
+    # pytorch_msssim applies relu to the per-scale cs/ssim means; the tiny
+    # floor additionally keeps log() finite
+    vals = jnp.clip(vals, 1e-12, None)
     return jnp.exp(jnp.sum(weights[:, None] * jnp.log(vals), axis=0))
 
 

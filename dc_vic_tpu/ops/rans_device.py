@@ -20,14 +20,17 @@ table is needed — the decoder's renormalization pattern reproduces the
 encoder's emission pattern exactly (Giesen-style interleaved rANS).
 
 Within one step (one symbol per lane) the decoder consumes, in order:
-  slot 0: the CDF-advance renorm word        (iff state underflowed)
-  slot 1: the escape low-16 raw word         (iff escape symbol)
-  slot 2: the escape high-16 raw word        (iff escape symbol)
+  slot 0:      the CDF-advance renorm word      (iff state underflowed)
+  slot 1:      the escape chunk-count renorm    (iff escape + underflow)
+  slot 2 + j:  the j-th 4-bit-chunk renorm      (iff escape, j < count,
+                                                 + underflow)
 each slot taking its lanes in ascending order. A stream starts with 2 words
 per lane (little-endian final encoder state). Escape values use the same
-zigzag mapping as the CompressAI-format coder (value < 0 -> -2v-1, value >=
-max -> 2(v-max)) but carry a fixed 32-bit raw payload instead of 4-bit
-chunks (escapes are rare; fixed width keeps the lanes branch-free).
+zigzag mapping and 4-bit bypass chunks as the CompressAI-format coder
+(value < 0 -> -2v-1, value >= max -> 2(v-max); chunks LSB-first), except the
+chunk count is a single 4-bit field instead of a saturating chain — raw
+escape payloads are bounded to 2^20-1 (MAX_CHUNKS=5), far beyond the model
+layer's +-32000 symbol clip.
 
 Probabilities are the same quantized CDF rows as the host coder, so the
 coded size matches the CompressAI format up to the per-lane flush overhead
@@ -47,12 +50,19 @@ from .rans import CdfTable
 PRECISION = 16
 RANS_L = 1 << 16          # state lower bound; state in [2^16, 2^32)
 LANES = 128               # max interleaved lanes per stream (see module doc)
+MAX_CHUNKS = 5            # escape raw <= 2^20-1, in 4-bit chunks
+WORST_WORDS_PER_SYM = 2 + MAX_CHUNKS  # cdf renorm + count + chunks
 
 
 def section_lanes(n_symbols: int) -> int:
-    """Lane count for a section: the largest divisor of n_symbols <= LANES
-    (both coder sides derive it from the symbol count alone)."""
-    return math.gcd(n_symbols, LANES)
+    """Lane count for a section (both coder sides derive it from the symbol
+    count alone): a power-of-two divisor of n_symbols, <= LANES, and small
+    enough that each lane carries >= 16 symbols — flush overhead is 4 bytes
+    per lane, so tiny sections get few lanes."""
+    target = 1
+    while target * 2 <= min(LANES, max(1, n_symbols // 16)):
+        target *= 2
+    return math.gcd(n_symbols, target)
 
 
 class DeviceCdfTable:
@@ -90,13 +100,15 @@ def _precompute(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable):
     maxv = jnp.take(table.maxv, idx, mode="clip")
     value = sym - off
     esc = (value < 0) | (value >= maxv)
-    raw = jnp.where(value < 0, -2 * value - 1,
-                    2 * (value - maxv)).astype(jnp.uint32)
+    raw = jnp.where(value < 0, -2 * value - 1, 2 * (value - maxv))
+    raw = jnp.minimum(raw, (1 << (4 * MAX_CHUNKS)) - 1).astype(jnp.uint32)
+    count = sum((raw >> (4 * j) != 0).astype(jnp.uint32)
+                for j in range(MAX_CHUNKS))
     value = jnp.where(esc, maxv, value)
     pair = jnp.take(table.pair_flat, idx * table.cols + value, mode="clip")
     start = pair & jnp.uint32(0xFFFF)
     freq = pair >> 16
-    return start, freq, esc, raw
+    return start, freq, esc, raw, count
 
 
 def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
@@ -105,39 +117,50 @@ def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
     """Encode one section batch: sym/idx [B, n, L] int32.
 
     Returns (vals [B, K] uint16, mask [B, K] bool): each image's stream words
-    in canonical order with a validity mask; K = 2L + 3nL is the static
-    worst case. Pack with pack_streams()."""
+    in canonical order with a validity mask; K = 2L + (2+MAX_CHUNKS)nL is
+    the static worst case. Pack with pack_streams()."""
     B, n, L = sym.shape
-    start, freq, esc, raw = _precompute(sym, idx, table)
+    start, freq, esc, raw, count = _precompute(sym, idx, table)
     # [n, B, L] scan layout
     tr = lambda a: a.transpose(1, 0, 2)
-    lo = (raw & jnp.uint32(0xFFFF)).astype(jnp.uint32)
-    hi = (raw >> 16).astype(jnp.uint32)
     xs_in = (tr(start).astype(jnp.uint32), tr(freq).astype(jnp.uint32),
-             tr(esc), tr(lo), tr(hi))
+             tr(esc), tr(raw), tr(count))
+
+    def put_bits4(x, val, active):
+        """Masked put_bits(val, 4): emit conditionally, shift val in."""
+        renorm = active & (x >= jnp.uint32(1 << 28))
+        w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        x1 = jnp.where(renorm, x >> 16, x)
+        x = jnp.where(active, (x1 << 4) | val, x1)
+        return x, w, renorm
 
     def body(x, inp):
-        start, freq, esc, lo, hi = inp
-        top = x & jnp.uint32(0xFFFF0000)
-        w_a = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)   # escape high-16
-        x = jnp.where(esc, top | hi, x)
-        top = x & jnp.uint32(0xFFFF0000)
-        w_b = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)   # escape low-16
-        x = jnp.where(esc, top | lo, x)
+        start, freq, esc, raw, count = inp
+        # encoder runs in reverse decode order: chunks MSB-first, then the
+        # chunk count, then the CDF symbol
+        chunk_ws = [None] * MAX_CHUNKS
+        for j in range(MAX_CHUNKS - 1, -1, -1):
+            active = esc & (count > j)
+            x, w, m = put_bits4(x, (raw >> (4 * j)) & jnp.uint32(0xF),
+                                active)
+            chunk_ws[j] = (w, m)                 # decode slot 2 + j
+        x, w_cnt, m_cnt = put_bits4(x, count, esc)
         renorm = x >= (freq << 16)
-        w_c = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)   # cdf renorm word
+        w_c = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x1 = jnp.where(renorm, x >> 16, x)
         x = ((x1 // freq) << 16) | ((x1 % freq) + start)
-        return x, (w_c, renorm, w_b, esc, w_a, esc)
+        ws = (w_c, renorm, w_cnt, m_cnt) + tuple(
+            v for pair in chunk_ws for v in pair)
+        return x, ws
 
     x0 = jnp.full((B, L), RANS_L, jnp.uint32)
     # reverse=True: symbols are encoded last-to-first (rANS requirement) and
     # the stacked outputs still land at their forward step index.
-    x_fin, (w_c, m_c, w_b, m_b, w_a, m_a) = jax.lax.scan(
-        body, x0, xs_in, reverse=True)
+    x_fin, ys = jax.lax.scan(body, x0, xs_in, reverse=True)
 
-    words = jnp.stack([w_c, w_b, w_a], axis=1)   # [n, 3, B, L] slot-major
-    mask = jnp.stack([m_c, m_b, m_a], axis=1)
+    S = 2 + MAX_CHUNKS
+    words = jnp.stack(ys[0::2], axis=1)   # [n, S, B, L] decode-slot-major
+    mask = jnp.stack(ys[1::2], axis=1)
     words = words.transpose(2, 0, 1, 3).reshape(B, -1)  # (t, slot, lane)
     mask = mask.transpose(2, 0, 1, 3).reshape(B, -1)
 
@@ -195,14 +218,20 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     x0 = low | (high << 16)
     cursor = cursor + 2 * L
 
-    def consume(x, cur, active, shift_fill):
-        """Conditionally renorm `active` lanes from the shared stream:
-        lane ranks = prefix counts keep the canonical slot order."""
-        pos = jnp.cumsum(active, axis=1, dtype=jnp.int32)
+    def renorm(x, cur, need):
+        """Refill `need` lanes from the shared stream: lane ranks = prefix
+        counts keep the canonical slot order."""
+        pos = jnp.cumsum(need, axis=1, dtype=jnp.int32)
         widx = img_base[:, None] + cur[:, None] + pos - 1
         w = jnp.take(words, widx, mode="clip").astype(jnp.uint32)
-        x = jnp.where(active, shift_fill | w, x)
+        x = jnp.where(need, (x << 16) | w, x)
         return x, cur + pos[:, -1]
+
+    def get_bits4(x, cur, active):
+        val = (x & jnp.uint32(0xF)).astype(jnp.uint32)
+        xs = x >> 4
+        xs, cur = renorm(xs, cur, active & (xs < RANS_L))
+        return val, jnp.where(active, xs, x), cur
 
     def body(carry, inp):
         x, cur = carry
@@ -215,15 +244,16 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
         start = pair & jnp.uint32(0xFFFF)
         freq = pair >> 16
         x = freq * (x >> 16) + cum - start
-        x, cur = consume(x, cur, x < RANS_L, x << 16)
+        x, cur = renorm(x, cur, x < RANS_L)
 
         esc = s == maxv_t
-        lo = x & jnp.uint32(0xFFFF)
-        x, cur = consume(x, cur, esc, (x >> 16) << 16)
-        hi = x & jnp.uint32(0xFFFF)
-        x, cur = consume(x, cur, esc, (x >> 16) << 16)
+        count, x, cur = get_bits4(x, cur, esc)
+        raw = jnp.zeros_like(x)
+        for j in range(MAX_CHUNKS):
+            chunk, x, cur = get_bits4(x, cur, esc & (count > j))
+            raw = raw | jnp.where(count > j, chunk << (4 * j), 0)
 
-        raw = (lo | (hi << 16)).astype(jnp.int32)
+        raw = raw.astype(jnp.int32)
         value = jnp.where(
             esc,
             jnp.where(raw & 1 == 1, -(raw >> 1) - 1, (raw >> 1) + maxv_t),

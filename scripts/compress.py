@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--selfcheck", action="store_true",
                    help="verify decode-side latents match the encoder bit-exactly")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--stream_format", type=str, default="tpu",
+                   choices=["tpu", "compressai"],
+                   help="tpu: device-coded streams (native, fastest); "
+                        "compressai: reference-compatible host coding")
     return p.parse_args()
 
 
@@ -90,7 +94,7 @@ def main():
 
     spec = build_comp_model(opt)
     params = init_params(spec, args.model_path)
-    codec = Codec(spec, params)
+    codec = Codec(spec, params, stream_format=args.stream_format)
 
     # resolution buckets -> batched encode per bucket
     buckets = defaultdict(list)

@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--trace_dir", type=str, default=None)
+    p.add_argument("--stream_format", type=str, default="tpu",
+                   choices=["tpu", "compressai"])
     return p.parse_args()
 
 
@@ -48,7 +50,7 @@ def main():
     opt = load_config(args.config_path)
     spec = build_comp_model(opt)
     params = init_params(spec, args.model_path)
-    codec = Codec(spec, params)
+    codec = Codec(spec, params, stream_format=args.stream_format)
 
     B, H, W = args.batch, args.height, args.width
     imgs = np.random.default_rng(0).integers(0, 256, (B, H, W, 3),
@@ -68,7 +70,8 @@ def main():
             with timer.stage("1_device_encode+sym_d2h"):
                 handle = codec.compress_dispatch(imgs, **kw)
                 res_out = handle["out"]
-                _ = np.asarray(res_out["sym_plane"])
+                k = "sym_plane" if "sym_plane" in res_out else "stats"
+                _ = np.asarray(res_out[k])
             with timer.stage("2_host_rans_encode"):
                 res = codec.compress_finalize(handle)
             strings = [r["string_list"] for r in res]

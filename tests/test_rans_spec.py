@@ -1,0 +1,140 @@
+"""Double-entry verification of the CompressAI-format C coder.
+
+CompressAI golden byte vectors cannot be generated in this image (no
+network / no compressai wheel), so the next-strongest evidence is an
+INDEPENDENT implementation of the published stream spec — the 64-bit rANS
+of ryg/rans64.h with CompressAI's escape layout (16-bit precision, 4-bit
+saturating bypass chunks, two little-endian 32-bit flush words) — written
+here in pure Python directly from the spec, and byte-compared against
+ops/rans/rans.cpp. Any transcription error in either implementation breaks
+the equality; agreement means both implement the same spec.
+
+Spec sources: compressai/cpp_exts/rans/rans_interface.cpp (BSD) semantics as
+documented in the CompressAI docs, and Fabian Giesen's public rans64.h
+algorithm. No code was copied; this is a from-scratch spec implementation
+(ref usage site: src/models/subnet/context_model/
+minnen20_charm_context_model.py:179-203).
+"""
+import numpy as np
+import pytest
+
+from dc_vic_tpu.ops.rans import (
+    CdfTable,
+    decode_with_indexes,
+    encode_with_indexes,
+)
+
+PREC = 16
+BYPASS = 4
+MAX_BP = (1 << BYPASS) - 1
+RANS64_L = 1 << 31
+
+
+class PySpecEncoder:
+    """Pure-Python rANS64 encoder following the CompressAI stream spec."""
+
+    def __init__(self, table: CdfTable):
+        self.cdfs = np.asarray(table.cdfs, np.int64)
+        self.lengths = np.asarray(table.cdf_lengths, np.int64)
+        self.offsets = np.asarray(table.offsets, np.int64)
+
+    def _put(self, x, words, start, freq):
+        # Rans64EncPut: renorm emits the low 32 bits when x would overflow
+        x_max = ((RANS64_L >> PREC) << 32) * freq
+        if x >= x_max:
+            words.append(x & 0xFFFFFFFF)
+            x >>= 32
+        return ((x // freq) << PREC) + (x % freq) + start
+
+    def _put_bits(self, x, words, val, nbits):
+        freq = 1 << (PREC - nbits)
+        x_max = ((RANS64_L >> PREC) << 32) * freq
+        if x >= x_max:
+            words.append(x & 0xFFFFFFFF)
+            x >>= 32
+        return (x << nbits) | val
+
+    def encode(self, symbols, indexes) -> bytes:
+        # Build the forward list of operations, then run them in reverse
+        # (the spec encodes back to front); emitted words are prepended.
+        x = RANS64_L
+        rev_words = []  # words in emission order (stream is its reverse)
+        for sym, i in zip(reversed(symbols), reversed(indexes)):
+            cdf = self.cdfs[i]
+            max_value = int(self.lengths[i]) - 2
+            value = int(sym) - int(self.offsets[i])
+            raw = None
+            if value < 0:
+                raw = -2 * value - 1
+                value = max_value
+            elif value >= max_value:
+                raw = 2 * (value - max_value)
+                value = max_value
+            if raw is not None:
+                # decoder reads: count chunks (15-saturating), then raw
+                # chunks LSB-first -> encoder runs that list backwards
+                nb = 0
+                while (raw >> (nb * BYPASS)) != 0:
+                    nb += 1
+                for j in range(nb - 1, -1, -1):
+                    x = self._put_bits(x, rev_words,
+                                       (raw >> (j * BYPASS)) & MAX_BP, BYPASS)
+                v, n15 = nb, 0
+                while v >= MAX_BP:
+                    v -= MAX_BP
+                    n15 += 1
+                x = self._put_bits(x, rev_words, v, BYPASS)
+                for _ in range(n15):
+                    x = self._put_bits(x, rev_words, MAX_BP, BYPASS)
+            start = int(cdf[value])
+            freq = int(cdf[value + 1]) - start
+            x = self._put(x, rev_words, start, freq)
+        stream = [x & 0xFFFFFFFF, (x >> 32) & 0xFFFFFFFF] + rev_words[::-1]
+        return np.asarray(stream, np.uint32).tobytes()
+
+
+def _table(scales=(0.3, 1.0, 8.0, 64.0)) -> CdfTable:
+    from dc_vic_tpu.codec.gaussian import GaussianConditional
+    return GaussianConditional().build_cdf_table(np.asarray(scales))
+
+
+@pytest.mark.parametrize("seed,n,esc_rate", [
+    (0, 1000, 0.0),
+    (1, 1000, 0.1),
+    (2, 5000, 0.4),
+    (3, 64, 1.0),
+])
+def test_c_coder_matches_python_spec(seed, n, esc_rate):
+    table = _table()
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 4, n).astype(np.int32)
+    scale = np.asarray([0.3, 1.0, 8.0, 64.0])[idx]
+    sym = np.round(rng.normal(0, scale)).astype(np.int32)
+    hot = rng.random(n) < esc_rate
+    sym = np.where(hot, rng.integers(-100000, 100000, n), sym).astype(np.int32)
+
+    c_bytes = encode_with_indexes(sym, idx, table)
+    py_bytes = PySpecEncoder(table).encode(sym, idx)
+    assert c_bytes == py_bytes, (
+        f"C coder diverges from the pure-Python spec implementation "
+        f"(len {len(c_bytes)} vs {len(py_bytes)})")
+    # and the C decoder inverts the Python-spec bytes
+    dec = decode_with_indexes(py_bytes, idx, table)
+    np.testing.assert_array_equal(dec, sym)
+
+
+def test_pmf_to_quantized_cdf_spec():
+    """ops/cdf.py must satisfy the CompressAI CDF invariants: cdf[0] == 0,
+    cdf[-1] == 2^16, strictly increasing (no zero-width bins), and the
+    escape bin absorbs the tail mass."""
+    from dc_vic_tpu.ops.cdf import pmf_to_quantized_cdf
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        k = int(rng.integers(1, 40))
+        pmf = rng.random(k) ** 4  # spiky, provokes zero-width bins
+        tail = float(rng.random() * 1e-3)
+        pmf = pmf / pmf.sum() * (1 - tail)
+        cdf = pmf_to_quantized_cdf(np.concatenate([pmf, [tail]]))
+        assert cdf[0] == 0 and cdf[-1] == (1 << 16)
+        assert np.all(np.diff(cdf) >= 1), "zero-width bin survived"
+        assert len(cdf) == k + 2

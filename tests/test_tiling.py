@@ -54,9 +54,10 @@ def test_extract_stitch_identity_scaled():
 
 
 @pytest.mark.slow
-def test_large_image_codec_roundtrip():
+@pytest.mark.parametrize("fmt", ["tpu", "compressai"])
+def test_large_image_codec_roundtrip(fmt):
     """>1024px image goes through split VQ-encode and split reconstruction
-    and still round-trips the latents bit-exactly."""
+    and still round-trips the latents bit-exactly (both stream formats)."""
     import jax
     import jax.numpy as jnp
 
@@ -69,31 +70,17 @@ def test_large_image_codec_roundtrip():
     beta = jnp.array([1.0])
     params = jax.jit(lambda r: spec.module.init(
         {"params": r}, x0, beta, beta, is_train=False))(rng)
-    codec = Codec(spec, params)
+    codec = Codec(spec, params, stream_format=fmt)
 
     img = np.random.default_rng(2).uniform(
         -1, 1, (1, 1152, 640, 3)).astype(np.float32)
-    res = codec.compress(img, quality_ind=0, debug=True)[0]
-    out = codec.decompress([res["string_list"]])
+    res = codec.compress(img, quality_ind=0, debug=True)
+    out = codec.decompress([res[0]["string_list"]])
     assert out.shape == img.shape
     assert out.dtype == np.uint8
 
-    # decode-side y_hat must still match the encoder bit-exactly
-    padH, padW = 1152, 640
-    zH, zW = padH // 64, padW // 64
-    yH, yW = padH // 16, padW // 16
-    Cz, Cy = codec.module.bottleneck_z, codec.module.bottleneck_y
-    from dc_vic_tpu.ops.rans import decode_with_indexes
-    z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
-                             (zH, zW, Cz)).reshape(-1)
-    z_sym = decode_with_indexes(res["string_list"][1], z_idx1,
-                                codec.z_table).reshape(1, zH, zW, Cz)
-    hyper_out, _ = codec._get_jit(("hyper", z_sym.shape),
-                                  codec._hyper_decode_fn)(
-        codec.params, jnp.asarray(z_sym.astype(np.int16)))
-    y_hat = codec._charm_decode(hyper_out, [res["string_list"][2]],
-                                1, yH, yW, Cy)
-    np.testing.assert_array_equal(np.asarray(y_hat)[0], res["y_hat"])
+    # decode-side latents must match the encoder bit-exactly
+    assert codec.verify_roundtrip(res, [res[0]["string_list"]], (1152, 640))
 
 
 @pytest.mark.slow
