@@ -91,12 +91,16 @@ class Codec:
     both."""
 
     def __init__(self, spec: "CompModelSpec", params,
-                 stream_format: str = "tpu"):
+                 stream_format: str = "tpu", encode_backend: str = "host"):
         assert stream_format in ("tpu", "compressai"), stream_format
+        assert encode_backend in ("host", "device"), encode_backend
         self.spec = spec
         self.module = spec.module
         self.params = params
         self.stream_format = stream_format
+        # tpu-format encode can run on the host (C coder — overlaps device
+        # compute in the pipeline; default) or fully on the device
+        self.encode_backend = encode_backend
         # architecture constants (the reference probes these with a dummy run,
         # hyperprior_dc_vic_model.py:75-89; static here: 4 stride-2 convs in
         # the encoder, 2 in the hyperencoder)
@@ -381,20 +385,21 @@ class Codec:
         b2 = jnp.array([beta_vq], jnp.float32)
 
         from .tiling import SPLIT_RESOLUTION
-        tpu = self.stream_format == "tpu"
-        if tpu:
+        tpu_dev = (self.stream_format == "tpu"
+                   and self.encode_backend == "device")
+        if tpu_dev:
             self._ensure_dtables()
         if max(x.shape[1], x.shape[2]) > SPLIT_RESOLUTION:
             lat, idx = self._split_vq_encode(x)
             enc = self._get_jit(
-                ("enc_vq", tpu, x.shape, debug),
-                lambda: (self._encode_tpu_from_vq_fn(debug) if tpu
+                ("enc_vq", tpu_dev, x.shape, debug),
+                lambda: (self._encode_tpu_from_vq_fn(debug) if tpu_dev
                          else self._encode_from_vq_fn(debug)))
             out = enc(self.params, jnp.asarray(x), lat, idx, b1, b2)
         else:
             enc = self._get_jit(
-                ("enc", tpu, x.shape, debug),
-                lambda: (self._encode_tpu_fn(x.shape, debug) if tpu
+                ("enc", tpu_dev, x.shape, debug),
+                lambda: (self._encode_tpu_fn(x.shape, debug) if tpu_dev
                          else self._encode_fn(x.shape, debug)))
             out = enc(self.params,
                       jnp.asarray(np.ascontiguousarray(x).reshape(-1)),
@@ -407,18 +412,22 @@ class Codec:
                 out[k].copy_to_host_async()
             except (AttributeError, KeyError):
                 break
+        fmt = ("tpu_dev" if tpu_dev else
+               "tpu_host" if self.stream_format == "tpu" else "compressai")
         return dict(out=out, B=B, H=H, W=W, quality_ind=quality_ind,
-                    debug=debug, fmt="tpu" if tpu else "compressai")
+                    debug=debug, fmt=fmt)
 
     def compress_finalize(self, handle: Dict) -> List[Dict]:
-        """Phase 2: pull the coded streams (tpu format) or symbol planes +
-        host rANS encode (compressai format)."""
-        if handle.get("fmt") == "tpu":
+        """Phase 2: pull the coded streams (tpu+device backend) or symbol
+        planes + host entropy encode (compressai format, or tpu format via
+        the C coder)."""
+        if handle.get("fmt") == "tpu_dev":
             return self._finalize_tpu(handle)
         out = handle["out"]
         B, H, W = handle["B"], handle["H"], handle["W"]
         quality_ind = handle["quality_ind"]
         debug = handle["debug"]
+        tpu_host = handle.get("fmt") == "tpu_host"
 
         padH = -(-H // self.model_stride) * self.model_stride
         padW = -(-W // self.model_stride) * self.model_stride
@@ -459,16 +468,43 @@ class Codec:
             y_idx = slice_major(y_idx)
 
         num_pixel = H * W
-        z_futs = [self._pool.submit(encode_with_indexes, z_sym[b].reshape(-1),
-                                    z_idx1, self.z_table) for b in range(B)]
-        y_futs = [self._pool.submit(encode_with_indexes, y_sym[b].reshape(-1),
-                                    y_idx[b].reshape(-1), self.y_table)
-                  for b in range(B)]
+        if tpu_host:
+            # C coder, TPU interleaved stream format (device-decodable)
+            from ..ops.rans import tpu_encode_sections
+
+            y_sym_f = y_sym.reshape(B, -1)
+            y_idx_f = y_idx.reshape(B, -1)
+
+            def y_sections(b):
+                segs = []
+                N = y_sym_f.shape[1]
+                ns = N // self.num_slices if self.module.use_charm else N
+                for s0 in range(0, N, ns):
+                    L = section_lanes(ns)
+                    segs.append((y_sym_f[b, s0:s0 + ns].reshape(-1, L),
+                                 y_idx_f[b, s0:s0 + ns].reshape(-1, L)))
+                return segs
+
+            Lz = section_lanes(z_idx1.size)
+            z_futs = [self._pool.submit(
+                tpu_encode_sections,
+                [(z_sym[b].reshape(-1, Lz), z_idx1.reshape(-1, Lz))],
+                self.z_table) for b in range(B)]
+            y_futs = [self._pool.submit(tpu_encode_sections, y_sections(b),
+                                        self.y_table) for b in range(B)]
+        else:
+            z_futs = [self._pool.submit(
+                encode_with_indexes, z_sym[b].reshape(-1), z_idx1,
+                self.z_table) for b in range(B)]
+            y_futs = [self._pool.submit(
+                encode_with_indexes, y_sym[b].reshape(-1),
+                y_idx[b].reshape(-1), self.y_table) for b in range(B)]
         results = []
         for b in range(B):
             z_str = z_futs[b].result()
             y_str = y_futs[b].result()
-            header = HeaderHandler.encode((H, W), max_abs_y, quality_ind)
+            header = HeaderHandler.encode((H, W), max_abs_y, quality_ind,
+                                          tpu_format=tpu_host)
             r = dict(
                 string_list=[header, z_str, y_str],
                 pred_y_bpp=float(y_bits[b]) / num_pixel,

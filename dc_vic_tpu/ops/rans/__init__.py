@@ -64,6 +64,16 @@ def _load() -> ctypes.CDLL:
         lib.dcvic_rans_decode_stream.restype = None
         lib.dcvic_rans_decode_stream.argtypes = [
             ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_void_p, i32p]
+
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.dcvic_tpu_encode_section.restype = ctypes.c_int
+        lib.dcvic_tpu_encode_section.argtypes = [
+            i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            u16p, ctypes.c_int]
+        lib.dcvic_tpu_decode_section.restype = ctypes.c_int
+        lib.dcvic_tpu_decode_section.argtypes = [
+            u16p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, i32p]
         _lib = lib
     return _lib
 
@@ -128,6 +138,46 @@ def decode_with_indexes(stream: bytes, indexes, table: CdfTable) -> np.ndarray:
     lib.dcvic_rans_decode_with_indexes(
         _u8p(buf), len(buf), _i32p(indexes), n, table._h, _i32p(out))
     return out
+
+
+def _u16p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def tpu_encode_sections(sections, table: CdfTable) -> bytes:
+    """Host-side encoder for the TPU interleaved stream format
+    (byte-identical to ops/rans_device.encode_sections + pack_streams).
+
+    sections: list of (symbols [n, L], indexes [n, L]) in decode order
+    (e.g. one per ChARM slice); the per-section streams are concatenated."""
+    lib = _load()
+    parts = []
+    for symbols, indexes in sections:
+        symbols = np.ascontiguousarray(symbols, np.int32)
+        indexes = np.ascontiguousarray(indexes, np.int32)
+        n, L = symbols.shape
+        cap = 2 * L + 4 * n * L + 16  # renorm + tier-1 + 2 tier-2 worst case
+        out = np.empty(cap, dtype=np.uint16)
+        r = lib.dcvic_tpu_encode_section(
+            _i32p(symbols), _i32p(indexes), n, L, table._h, _u16p(out), cap)
+        assert r >= 0, "tpu section encode overflow (cap bug)"
+        parts.append(out[:r])
+    return np.concatenate(parts).tobytes()
+
+
+def tpu_decode_section(words: np.ndarray, offset: int, indexes,
+                       table: CdfTable):
+    """Host-side decoder for one section of a TPU-format stream.
+    words: uint16 array; offset: word cursor. Returns (symbols [n, L],
+    new offset)."""
+    lib = _load()
+    indexes = np.ascontiguousarray(indexes, np.int32)
+    n, L = indexes.shape
+    words = np.ascontiguousarray(words[offset:], np.uint16)
+    out = np.empty((n, L), dtype=np.int32)
+    used = lib.dcvic_tpu_decode_section(
+        _u16p(words), len(words), _i32p(indexes), n, L, table._h, _i32p(out))
+    return out, offset + used
 
 
 class RansEncoder:

@@ -312,3 +312,151 @@ void dcvic_rans_decode_with_indexes(const uint8_t *stream, int stream_len,
 }
 
 }  // extern "C"
+
+// --------------------------------------------------------------------------
+// TPU interleaved-lane stream format (host-side coder).
+//
+// Byte-identical to the device coder in ops/rans_device.py: 32-bit state,
+// 16-bit renorm words, L lockstep lanes sharing one word stream in canonical
+// (step, lane) order; 2 little-endian flush words per lane at stream start;
+// escape raw payloads in a plain side channel after the rANS words (tier-1:
+// one word per escape, 0xFFFF marker spills to two tier-2 words). The host
+// encoder runs OFF the device critical path in the codec pipeline; the
+// device decodes the same stream in-graph.
+
+namespace {
+constexpr uint32_t kTpuL = 1u << 16;
+constexpr uint32_t kTier1Marker = 0xFFFFu;
+}  // namespace
+
+extern "C" {
+
+// sym/idx: [n*L], step-major (symbol (t, lane) at t*L + lane).
+// Returns words written, or a negative number if cap is insufficient.
+int dcvic_tpu_encode_section(const int32_t *sym, const int32_t *idx, int n,
+                             int L, const void *table, uint16_t *out,
+                             int cap) {
+  const Table &t = *static_cast<const Table *>(table);
+  std::vector<uint32_t> x(L, kTpuL);
+  std::vector<uint16_t> w(static_cast<size_t>(n) * L);
+  std::vector<uint8_t> m(w.size(), 0);
+  std::vector<uint16_t> tier1;
+  std::vector<uint16_t> tier2;
+
+  // forward pass collects the side channel in (step, lane) order
+  for (int i = 0; i < n * L; ++i) {
+    const int32_t index = idx[i];
+    const int32_t maxv = t.cdf_lengths[index] - 2;
+    const int32_t value = sym[i] - t.offsets[index];
+    if (value >= 0 && value < maxv) continue;
+    const uint32_t raw = value < 0 ? static_cast<uint32_t>(-2 * value - 1)
+                                   : static_cast<uint32_t>(2 * (value - maxv));
+    if (raw >= kTier1Marker) {
+      tier1.push_back(static_cast<uint16_t>(kTier1Marker));
+      tier2.push_back(static_cast<uint16_t>(raw & 0xFFFF));
+      tier2.push_back(static_cast<uint16_t>(raw >> 16));
+    } else {
+      tier1.push_back(static_cast<uint16_t>(raw));
+    }
+  }
+
+  // reverse rANS pass (escape bins, no bypass words in-stream)
+  for (int step = n - 1; step >= 0; --step) {
+    for (int l = 0; l < L; ++l) {
+      const int32_t index = idx[step * L + l];
+      const int32_t *cdf = t.row(index);
+      const int32_t maxv = t.cdf_lengths[index] - 2;
+      int32_t value = sym[step * L + l] - t.offsets[index];
+      if (value < 0 || value >= maxv) value = maxv;
+      const uint32_t start = static_cast<uint32_t>(cdf[value]);
+      const uint32_t freq = static_cast<uint32_t>(cdf[value + 1] - cdf[value]);
+      uint32_t xs = x[l];
+      if (xs >= (freq << 16)) {
+        const size_t pos = static_cast<size_t>(step) * L + l;
+        w[pos] = static_cast<uint16_t>(xs);
+        m[pos] = 1;
+        xs >>= 16;
+      }
+      xs = ((xs / freq) << 16) | ((xs % freq) + start);
+      x[l] = xs;
+    }
+  }
+
+  int k = 0;
+  if (cap < 2 * L) return -(2 * L);
+  for (int l = 0; l < L; ++l) {
+    out[k++] = static_cast<uint16_t>(x[l] & 0xFFFF);
+    out[k++] = static_cast<uint16_t>(x[l] >> 16);
+  }
+  const int need = k + static_cast<int>(tier1.size() + tier2.size());
+  for (size_t i = 0; i < w.size(); ++i) {
+    if (m[i]) {
+      if (k >= cap) return -(k + 1);
+      out[k++] = w[i];
+    }
+  }
+  if (k + static_cast<int>(tier1.size() + tier2.size()) > cap)
+    return -(k + static_cast<int>(tier1.size() + tier2.size()));
+  (void)need;
+  for (uint16_t v : tier1) out[k++] = v;
+  for (uint16_t v : tier2) out[k++] = v;
+  return k;
+}
+
+// Decode n*L symbols from `words` (forward); returns words consumed.
+int dcvic_tpu_decode_section(const uint16_t *words, int avail,
+                             const int32_t *idx, int n, int L,
+                             const void *table, int32_t *out_sym) {
+  const Table &t = *static_cast<const Table *>(table);
+  std::vector<uint32_t> x(L);
+  std::vector<int32_t> esc_pos;  // flat positions of escapes, in order
+  int cur = 0;
+  const auto rd = [&]() -> uint32_t {
+    return (cur < avail) ? words[cur++] : 0u;
+  };
+  for (int l = 0; l < L; ++l) {
+    const uint32_t lo = rd();
+    const uint32_t hi = rd();
+    x[l] = lo | (hi << 16);
+  }
+  for (int step = 0; step < n; ++step) {
+    for (int l = 0; l < L; ++l) {
+      const int i = step * L + l;
+      const int32_t index = idx[i];
+      const uint16_t *lut = t.lut_row(index);
+      const int32_t *cdf = t.row(index);
+      const uint32_t cum = x[l] & 0xFFFF;
+      const int32_t s = lut[cum];
+      const uint32_t start = static_cast<uint32_t>(cdf[s]);
+      const uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
+      uint32_t xs = freq * (x[l] >> 16) + cum - start;
+      if (xs < kTpuL) xs = (xs << 16) | rd();
+      x[l] = xs;
+      if (s == t.cdf_lengths[index] - 2) {
+        esc_pos.push_back(i);
+      } else {
+        out_sym[i] = s + t.offsets[index];
+      }
+    }
+  }
+  // side channel: tier-1 words, then tier-2 pairs for marked escapes
+  const int n_esc = static_cast<int>(esc_pos.size());
+  int t2 = cur + n_esc;
+  for (int e = 0; e < n_esc; ++e) {
+    const int i = esc_pos[e];
+    const int32_t index = idx[i];
+    const int32_t maxv = t.cdf_lengths[index] - 2;
+    uint32_t raw = (cur + e < avail) ? words[cur + e] : 0u;
+    if (raw == kTier1Marker) {
+      const uint32_t lo = (t2 < avail) ? words[t2++] : 0u;
+      const uint32_t hi = (t2 < avail) ? words[t2++] : 0u;
+      raw = lo | (hi << 16);
+    }
+    const int32_t v = (raw & 1) ? -static_cast<int32_t>(raw >> 1) - 1
+                                : static_cast<int32_t>(raw >> 1) + maxv;
+    out_sym[i] = v + t.offsets[index];
+  }
+  return t2;
+}
+
+}  // extern "C"

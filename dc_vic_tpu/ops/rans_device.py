@@ -2,39 +2,37 @@
 
 The reference entropy-codes on the CPU through compressai.ans, forcing a
 host<->device round trip per ChARM slice (ref: src/models/subnet/
-context_model/minnen20_charm_context_model.py:179-203). Here the coder runs
-ON the accelerator as pure jnp (VPU element-wise + small gathers), so:
-
-  * encode: symbol planes never cross the host link — only the final
-    entropy-coded bytes do;
-  * decode: the entire ChARM slice chain (entropy decode -> slice
-    reconstruct -> next-slice params) is ONE jitted graph — zero host
-    round trips inside the autoregressive loop.
+context_model/minnen20_charm_context_model.py:179-203). Here the DECODER
+runs ON the accelerator as pure jnp, so the entire ChARM slice chain
+(entropy decode -> slice reconstruct -> next-slice params) is ONE jitted
+graph — zero host round trips inside the autoregressive loop. The matching
+encoder exists both as jnp (this module) and as C (ops/rans/rans.cpp,
+dcvic_tpu_encode_section) — the codec pipeline encodes on the HOST, where
+the byte work overlaps device compute, and decodes on the device.
 
 Scheme: rANS with 32-bit state, 16-bit renormalization words, 16-bit
 probability precision (the uint32-friendly variant of the 64-bit coder in
 ops/rans/rans.cpp — TPUs have no native 64-bit integer path). Each stream is
 split into L interleaved lanes that advance in lockstep; emitted words share
-one stream in a canonical (step, slot, lane) order, so no per-lane length
-table is needed — the decoder's renormalization pattern reproduces the
-encoder's emission pattern exactly (Giesen-style interleaved rANS).
+one stream in canonical (step, lane) order, so no per-lane length table is
+needed — the decoder's renormalization pattern reproduces the encoder's
+emission pattern exactly (Giesen-style interleaved rANS).
 
-Within one step (one symbol per lane) the decoder consumes, in order:
-  slot 0:      the CDF-advance renorm word      (iff state underflowed)
-  slot 1:      the escape chunk-count renorm    (iff escape + underflow)
-  slot 2 + j:  the j-th 4-bit-chunk renorm      (iff escape, j < count,
-                                                 + underflow)
-each slot taking its lanes in ascending order. A stream starts with 2 words
-per lane (little-endian final encoder state). Escape values use the same
-zigzag mapping and 4-bit bypass chunks as the CompressAI-format coder
-(value < 0 -> -2v-1, value >= max -> 2(v-max); chunks LSB-first), except the
-chunk count is a single 4-bit field instead of a saturating chain — raw
-escape payloads are bounded to 2^20-1 (MAX_CHUNKS=5), far beyond the model
-layer's +-32000 symbol clip.
+Section layout (one section = one ChARM slice of one image):
+
+  [2L flush words][renorm words, (step, lane) order][tier-1][tier-2]
+
+Escapes use the CompressAI zigzag (value < 0 -> -2v-1, value >= max ->
+2(v-max)) but the raw payload is NOT bypass-coded into the rANS stream —
+it lives in a plain side channel: one tier-1 word per escape (the raw, or
+the 0xFFFF marker), then two tier-2 words (raw low/high 16) per marked
+escape. This keeps the decode scan's critical path at ONE table gather per
+symbol: TPU random-index gathers serialize per element, so every gather
+removed from the sequential scan is won back directly (see PERF.md).
 
 Probabilities are the same quantized CDF rows as the host coder, so the
 coded size matches the CompressAI format up to the per-lane flush overhead
-(4 bytes x LANES per stream; see PERF.md for the rate/latency trade-off).
+(4 bytes x lanes per stream) and ~4 extra bits per (rare) escape.
 """
 from __future__ import annotations
 
@@ -50,8 +48,9 @@ from .rans import CdfTable
 PRECISION = 16
 RANS_L = 1 << 16          # state lower bound; state in [2^16, 2^32)
 LANES = 128               # max interleaved lanes per stream (see module doc)
-MAX_CHUNKS = 5            # escape raw <= 2^20-1, in 4-bit chunks
-WORST_WORDS_PER_SYM = 2 + MAX_CHUNKS  # cdf renorm + count + chunks
+TIER1_MARKER = 0xFFFF     # side-channel: raw >= 0xFFFF spills to tier 2
+WORST_WORDS_PER_SYM = 4   # renorm + tier-1 + 2 tier-2
+ESC_FLAG = 1 << 30        # escape marker bit in the dense value table
 
 
 def section_lanes(n_symbols: int) -> int:
@@ -66,13 +65,23 @@ def section_lanes(n_symbols: int) -> int:
 
 
 class DeviceCdfTable:
-    """Device-resident CDF table: packed (start | freq<<16) rows plus a dense
-    2^16 cum->symbol LUT (same layout idea as the C library's prepared
-    tables, ops/rans/rans.cpp:109-122)."""
+    """Device-resident CDF table, laid out for the TPU's memory system.
+
+    The decode scan's only table access is ONE dense uint32 gather per
+    symbol (state advance); the symbol value is a second dense gather that
+    happens OUTSIDE the sequential scan:
+
+      adv_flat[row, cum] = (cum - start(s)) | freq(s) << 16
+      val_flat[row, cum] = symbol + offset                  (in-range)
+                         | ESC_FLAG | maxv << 16 | (offset + 2^15)  (escape)
+
+    The encoder's per-(row, value) (start | freq<<16) pair table is kept for
+    the vectorized (non-sequential) encode precompute."""
 
     def __init__(self, table: CdfTable):
         cdfs = np.asarray(table.cdfs, np.int64)          # [rows, cols]
         lengths = np.asarray(table.cdf_lengths, np.int64)
+        offsets = np.asarray(table.offsets, np.int64)
         rows, cols = cdfs.shape
         self.cols = cols - 1  # pair-table row stride ((start, freq) per bin)
 
@@ -82,14 +91,24 @@ class DeviceCdfTable:
         pair = np.where(valid, starts | (np.maximum(freqs, 1) << 16), 1 << 16)
         self.pair_flat = jnp.asarray(pair.astype(np.uint32).reshape(-1))
 
-        lut = np.zeros((rows, 1 << PRECISION), np.int32)
-        cum = np.arange(1 << PRECISION)
+        cum = np.arange(1 << PRECISION, dtype=np.int64)
+        adv = np.empty((rows, 1 << PRECISION), np.uint32)
+        val = np.empty((rows, 1 << PRECISION), np.int32)
         for r in range(rows):
             n = int(lengths[r])
-            lut[r] = np.searchsorted(cdfs[r, :n], cum, side="right") - 1
-        self.lut_flat = jnp.asarray(lut.reshape(-1))
+            maxv = n - 2
+            s = np.searchsorted(cdfs[r, :n], cum, side="right") - 1
+            start = cdfs[r, s]
+            freq = cdfs[r, s + 1] - start
+            adv[r] = ((cum - start) | (freq << 16)).astype(np.uint32)
+            symv = s + offsets[r]
+            assert abs(offsets[r]) < (1 << 15) and maxv < (1 << 14)
+            esc_entry = ESC_FLAG | (maxv << 16) | (offsets[r] + (1 << 15))
+            val[r] = np.where(s == maxv, esc_entry, symv).astype(np.int32)
+        self.adv_flat = jnp.asarray(adv.reshape(-1))
+        self.val_flat = jnp.asarray(val.reshape(-1))
 
-        self.offsets = jnp.asarray(np.asarray(table.offsets, np.int32))
+        self.offsets = jnp.asarray(offsets.astype(np.int32))
         self.maxv = jnp.asarray((lengths - 2).astype(np.int32))
 
 
@@ -100,15 +119,13 @@ def _precompute(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable):
     maxv = jnp.take(table.maxv, idx, mode="clip")
     value = sym - off
     esc = (value < 0) | (value >= maxv)
-    raw = jnp.where(value < 0, -2 * value - 1, 2 * (value - maxv))
-    raw = jnp.minimum(raw, (1 << (4 * MAX_CHUNKS)) - 1).astype(jnp.uint32)
-    count = sum((raw >> (4 * j) != 0).astype(jnp.uint32)
-                for j in range(MAX_CHUNKS))
+    raw = jnp.where(value < 0, -2 * value - 1,
+                    2 * (value - maxv)).astype(jnp.uint32)
     value = jnp.where(esc, maxv, value)
     pair = jnp.take(table.pair_flat, idx * table.cols + value, mode="clip")
     start = pair & jnp.uint32(0xFFFF)
     freq = pair >> 16
-    return start, freq, esc, raw, count
+    return start, freq, esc, raw
 
 
 def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
@@ -117,58 +134,46 @@ def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
     """Encode one section batch: sym/idx [B, n, L] int32.
 
     Returns (vals [B, K] uint16, mask [B, K] bool): each image's stream words
-    in canonical order with a validity mask; K = 2L + (2+MAX_CHUNKS)nL is
-    the static worst case. Pack with pack_streams()."""
+    in canonical order with a validity mask; K = 2L + 4nL is the static
+    worst case. Pack with pack_streams()."""
     B, n, L = sym.shape
-    start, freq, esc, raw, count = _precompute(sym, idx, table)
-    # [n, B, L] scan layout
-    tr = lambda a: a.transpose(1, 0, 2)
-    xs_in = (tr(start).astype(jnp.uint32), tr(freq).astype(jnp.uint32),
-             tr(esc), tr(raw), tr(count))
-
-    def put_bits4(x, val, active):
-        """Masked put_bits(val, 4): emit conditionally, shift val in."""
-        renorm = active & (x >= jnp.uint32(1 << 28))
-        w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-        x1 = jnp.where(renorm, x >> 16, x)
-        x = jnp.where(active, (x1 << 4) | val, x1)
-        return x, w, renorm
+    start, freq, esc, raw = _precompute(sym, idx, table)
+    tr = lambda a: a.transpose(1, 0, 2)  # [n, B, L] scan layout
+    xs_in = (tr(start).astype(jnp.uint32), tr(freq).astype(jnp.uint32))
 
     def body(x, inp):
-        start, freq, esc, raw, count = inp
-        # encoder runs in reverse decode order: chunks MSB-first, then the
-        # chunk count, then the CDF symbol
-        chunk_ws = [None] * MAX_CHUNKS
-        for j in range(MAX_CHUNKS - 1, -1, -1):
-            active = esc & (count > j)
-            x, w, m = put_bits4(x, (raw >> (4 * j)) & jnp.uint32(0xF),
-                                active)
-            chunk_ws[j] = (w, m)                 # decode slot 2 + j
-        x, w_cnt, m_cnt = put_bits4(x, count, esc)
+        start, freq = inp
         renorm = x >= (freq << 16)
-        w_c = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        w = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x1 = jnp.where(renorm, x >> 16, x)
         x = ((x1 // freq) << 16) | ((x1 % freq) + start)
-        ws = (w_c, renorm, w_cnt, m_cnt) + tuple(
-            v for pair in chunk_ws for v in pair)
-        return x, ws
+        return x, (w, renorm)
 
     x0 = jnp.full((B, L), RANS_L, jnp.uint32)
     # reverse=True: symbols are encoded last-to-first (rANS requirement) and
     # the stacked outputs still land at their forward step index.
-    x_fin, ys = jax.lax.scan(body, x0, xs_in, reverse=True)
-
-    S = 2 + MAX_CHUNKS
-    words = jnp.stack(ys[0::2], axis=1)   # [n, S, B, L] decode-slot-major
-    mask = jnp.stack(ys[1::2], axis=1)
-    words = words.transpose(2, 0, 1, 3).reshape(B, -1)  # (t, slot, lane)
-    mask = mask.transpose(2, 0, 1, 3).reshape(B, -1)
+    x_fin, (w_main, m_main) = jax.lax.scan(body, x0, xs_in, reverse=True)
 
     flush = jnp.stack([(x_fin & jnp.uint32(0xFFFF)).astype(jnp.uint16),
                        (x_fin >> 16).astype(jnp.uint16)],
                       axis=-1).reshape(B, 2 * L)
-    vals = jnp.concatenate([flush, words], axis=1)
-    mask = jnp.concatenate([jnp.ones((B, 2 * L), bool), mask], axis=1)
+
+    # side channel, (step, lane) order: tier-1 then tier-2
+    big = esc & (raw >= TIER1_MARKER)
+    esc_f = esc.reshape(B, -1)
+    big_f = big.reshape(B, -1)
+    raw_f = raw.reshape(B, -1)
+    t1 = jnp.where(big_f, TIER1_MARKER, raw_f).astype(jnp.uint16)
+    t2 = jnp.stack([(raw_f & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+                    (raw_f >> 16).astype(jnp.uint16)],
+                   axis=-1).reshape(B, -1)
+    m2 = jnp.repeat(big_f, 2, axis=1)
+
+    vals = jnp.concatenate(
+        [flush, tr(w_main).reshape(B, -1), t1, t2], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((B, 2 * L), bool), tr(m_main).reshape(B, -1),
+         esc_f, m2], axis=1)
     return vals, mask
 
 
@@ -178,8 +183,8 @@ def pack_streams(vals: jnp.ndarray, mask: jnp.ndarray
 
     vals/mask [B, K] (concatenate sections along axis 1 first). Returns
     (packed [B*K] uint16 — only the first sum(counts) entries meaningful —
-    and counts [B] int32). One sorted-unique scatter; everything stays on
-    device until the host slices off the real prefix."""
+    and counts [B] int32). One scatter; everything stays on device until the
+    host slices off the real prefix."""
     B, K = vals.shape
     pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32)
     counts = pos[:, -1]
@@ -205,10 +210,8 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     Returns (symbols, new_cursor, final lane states [B, L])."""
     del state
     B, n, L = idx.shape
-    off = jnp.take(table.offsets, idx, mode="clip")
-    maxv = jnp.take(table.maxv, idx, mode="clip")
+    tidx_rows = idx * (1 << PRECISION)  # [B, n, L], add cum at runtime
     tr = lambda a: a.transpose(1, 0, 2)
-    xs_in = (tr(idx), tr(off), tr(maxv))
 
     # lane init: 2 little-endian words per lane, lanes ascending
     lane2 = 2 * jnp.arange(L, dtype=jnp.int32)
@@ -218,47 +221,47 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     x0 = low | (high << 16)
     cursor = cursor + 2 * L
 
-    def renorm(x, cur, need):
-        """Refill `need` lanes from the shared stream: lane ranks = prefix
-        counts keep the canonical slot order."""
+    def body(carry, rows_t):
+        x, cur = carry
+        cum = x & jnp.uint32(0xFFFF)
+        # the ONE random gather on the sequential critical path
+        adv = jnp.take(table.adv_flat, rows_t + cum.astype(jnp.int32),
+                       mode="clip")
+        x = (adv >> 16) * (x >> 16) + (adv & jnp.uint32(0xFFFF))
+        need = x < RANS_L
         pos = jnp.cumsum(need, axis=1, dtype=jnp.int32)
         widx = img_base[:, None] + cur[:, None] + pos - 1
         w = jnp.take(words, widx, mode="clip").astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | w, x)
-        return x, cur + pos[:, -1]
+        return (x, cur + pos[:, -1]), cum.astype(jnp.uint16)
 
-    def get_bits4(x, cur, active):
-        val = (x & jnp.uint32(0xF)).astype(jnp.uint32)
-        xs = x >> 4
-        xs, cur = renorm(xs, cur, active & (xs < RANS_L))
-        return val, jnp.where(active, xs, x), cur
+    (x_fin, cursor), cums = jax.lax.scan(body, (x0, cursor), tr(tidx_rows))
 
-    def body(carry, inp):
-        x, cur = carry
-        idx_t, off_t, maxv_t = inp
-        cum = x & jnp.uint32(0xFFFF)
-        s = jnp.take(table.lut_flat,
-                     idx_t * (1 << PRECISION) + cum.astype(jnp.int32),
-                     mode="clip")
-        pair = jnp.take(table.pair_flat, idx_t * table.cols + s, mode="clip")
-        start = pair & jnp.uint32(0xFFFF)
-        freq = pair >> 16
-        x = freq * (x >> 16) + cum - start
-        x, cur = renorm(x, cur, x < RANS_L)
+    # symbol values: one big gather OUTSIDE the scan (not latency-chained)
+    cums = tr(cums)                                   # [B, n, L]
+    val = jnp.take(table.val_flat,
+                   tidx_rows + cums.astype(jnp.int32), mode="clip")
+    esc = val >= ESC_FLAG
 
-        esc = s == maxv_t
-        count, x, cur = get_bits4(x, cur, esc)
-        raw = jnp.zeros_like(x)
-        for j in range(MAX_CHUNKS):
-            chunk, x, cur = get_bits4(x, cur, esc & (count > j))
-            raw = raw | jnp.where(count > j, chunk << (4 * j), 0)
+    # side channel: tier-1 raws (1 word per escape, (step, lane) order),
+    # then tier-2 full 32-bit raws for marked escapes
+    esc_f = esc.reshape(B, -1)
+    r1 = jnp.cumsum(esc_f, axis=1, dtype=jnp.int32)
+    n_esc = r1[:, -1]
+    w1 = jnp.take(words, img_base[:, None] + cursor[:, None] + r1 - 1,
+                  mode="clip").astype(jnp.uint32)
+    big = esc_f & (w1 == TIER1_MARKER)
+    r2 = jnp.cumsum(big, axis=1, dtype=jnp.int32)
+    n_big = r2[:, -1]
+    t2b = img_base[:, None] + (cursor + n_esc)[:, None]
+    lo = jnp.take(words, t2b + 2 * r2 - 2, mode="clip").astype(jnp.uint32)
+    hi = jnp.take(words, t2b + 2 * r2 - 1, mode="clip").astype(jnp.uint32)
+    raw = jnp.where(big, lo | (hi << 16), w1).astype(jnp.int32)
+    raw = raw.reshape(B, n, L)
+    cursor = cursor + n_esc + 2 * n_big
 
-        raw = raw.astype(jnp.int32)
-        value = jnp.where(
-            esc,
-            jnp.where(raw & 1 == 1, -(raw >> 1) - 1, (raw >> 1) + maxv_t),
-            s)
-        return (x, cur), value + off_t
-
-    (x_fin, cursor), sym = jax.lax.scan(body, (x0, cursor), xs_in)
-    return sym.transpose(1, 0, 2), cursor, x_fin
+    off = (val & 0xFFFF) - (1 << 15)
+    maxv = (val >> 16) & 0x3FFF
+    esc_v = jnp.where(raw & 1 == 1, -(raw >> 1) - 1, (raw >> 1) + maxv) + off
+    sym = jnp.where(esc, esc_v, val)
+    return sym, cursor, x_fin

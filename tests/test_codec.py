@@ -31,10 +31,14 @@ def built():
     return spec, params
 
 
-@pytest.fixture(scope="module", params=["tpu", "compressai"])
+@pytest.fixture(scope="module",
+                params=["tpu-host", "tpu-device", "compressai"])
 def codec(request, built):
     spec, params = built
-    return Codec(spec, params, stream_format=request.param)
+    if request.param == "compressai":
+        return Codec(spec, params, stream_format="compressai")
+    fmt, backend = request.param.split("-")
+    return Codec(spec, params, stream_format=fmt, encode_backend=backend)
 
 
 def test_header_roundtrip():

@@ -152,3 +152,53 @@ def test_entropy_bottleneck_table_roundtrip():
     sym = rng.integers(-30, 30, (B, N)).astype(np.int32)
     dec, _ = _roundtrip(sym, idx, table)
     assert np.array_equal(dec, sym)
+
+
+def test_c_host_coder_matches_device_coder():
+    """The C host-side coder for the tpu format must produce byte-identical
+    streams to the jnp device coder (the codec pipeline encodes on the host
+    and decodes on the device), and each must invert the other."""
+    from dc_vic_tpu.ops.rans import tpu_decode_section, tpu_encode_sections
+    table = _gaussian_table()
+    dt = DeviceCdfTable(table)
+    rng = np.random.default_rng(9)
+    n_secs, n, L = 3, 48, 16
+    secs = []
+    for s in range(n_secs):
+        idx = rng.integers(0, 4, (n, L)).astype(np.int32)
+        sym = np.round(rng.normal(0, 3.0, (n, L))).astype(np.int32)
+        hot = rng.random((n, L)) < 0.2
+        sym = np.where(hot, rng.integers(-30000, 30000, (n, L)), sym)
+        secs.append((sym.astype(np.int32), idx))
+
+    # device encode (B=1), sections concatenated
+    vals, masks = [], []
+    for sym, idx in secs:
+        v, m = encode_sections(jnp.asarray(sym[None]), jnp.asarray(idx[None]),
+                               dt)
+        vals.append(v)
+        masks.append(m)
+    packed, counts = pack_streams(jnp.concatenate(vals, axis=1),
+                                  jnp.concatenate(masks, axis=1))
+    dev_bytes = np.asarray(packed)[: int(np.asarray(counts)[0])].tobytes()
+
+    host_bytes = tpu_encode_sections(secs, table)
+    assert host_bytes == dev_bytes, (
+        f"host C coder diverges from device coder "
+        f"({len(host_bytes)} vs {len(dev_bytes)} bytes)")
+
+    # C decode inverts, section by section with a carried cursor
+    words = np.frombuffer(host_bytes, np.uint16)
+    off = 0
+    for sym, idx in secs:
+        dec, off = tpu_decode_section(words, off, idx, table)
+        np.testing.assert_array_equal(dec, sym)
+    assert off == len(words)
+
+    # device decode inverts the host bytes too
+    cursor = jnp.zeros((1,), jnp.int32)
+    base = jnp.zeros((1,), jnp.int32)
+    for sym, idx in secs:
+        dec, cursor, _ = decode_section(jnp.asarray(words), base, cursor,
+                                        None, jnp.asarray(idx[None]), dt)
+        np.testing.assert_array_equal(np.asarray(dec)[0], sym)
