@@ -23,6 +23,10 @@ import numpy as np
 # tunnel's ~30 ms sync floor.
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "4"))
+# Interleave-lane cap (throughput mode): the device decode scan's per-step
+# cost is fixed, so wider/fewer steps are faster; costs 4 bytes per lane per
+# stream section of rate (counted in the streams the bench moves).
+LANES = int(os.environ.get("BENCH_LANES", "512"))
 H, W = 768, 512
 TARGET = 20.0
 
@@ -57,7 +61,7 @@ def main():
     b = jnp.array([1.0], jnp.float32)
     params = jax.jit(lambda r: module.init(
         {"params": r}, x_init, b, b, is_train=False))(jax.random.PRNGKey(0))
-    codec = Codec(spec, params)
+    codec = Codec(spec, params, lanes=LANES)
 
     # Natural-image stand-in: smooth low-frequency content + sensor-ish noise
     # (pure white noise is maximally incompressible and would inflate the

@@ -16,20 +16,27 @@ class HeaderHandler:
 
     @staticmethod
     def encode(img_size: Tuple[int, int], max_abs_y: int, quality_ind: int,
-               tpu_format: bool = False) -> bytes:
+               tpu_format: bool = False, lanes: int = 128) -> bytes:
         """quality byte bit 7 marks the device-coded 'tpu' stream format
-        (ops/rans_device.py); bits 0-6 are the quality index."""
+        (ops/rans_device.py); bits 0-6 are the quality index. For the tpu
+        format the third byte carries log2 of the interleave-lane cap (the
+        reference writes max|y_hat| there and never reads it back,
+        src/utils/codec_utils.py)."""
         H, W = img_size
         qb = int(quality_ind) | (0x80 if tpu_format else 0)
-        return struct.pack(
-            "<HHBB", H, W, min(255, max(0, int(max_abs_y))), qb)
+        b3 = (int(lanes).bit_length() - 1 if tpu_format
+              else min(255, max(0, int(max_abs_y))))
+        return struct.pack("<HHBB", H, W, b3, qb)
 
     @staticmethod
     def decode(header: bytes) -> Dict:
-        H, W, max_sample, qb = struct.unpack("<HHBB", header[:6])
-        return {"img_size": (H, W), "max_sample": max_sample,
+        H, W, b3, qb = struct.unpack("<HHBB", header[:6])
+        tpu = bool(qb & 0x80)
+        return {"img_size": (H, W),
+                "max_sample": None if tpu else b3,
+                "lanes": (1 << b3) if tpu else None,
                 "quality_ind": qb & 0x7F,
-                "stream_format": "tpu" if qb & 0x80 else "compressai"}
+                "stream_format": "tpu" if tpu else "compressai"}
 
 
 def save_byte_strings(path: str, strings: List[bytes]) -> None:

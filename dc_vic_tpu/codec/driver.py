@@ -91,9 +91,14 @@ class Codec:
     both."""
 
     def __init__(self, spec: "CompModelSpec", params,
-                 stream_format: str = "tpu", encode_backend: str = "host"):
+                 stream_format: str = "tpu", encode_backend: str = "host",
+                 lanes: int = 128):
         assert stream_format in ("tpu", "compressai"), stream_format
         assert encode_backend in ("host", "device"), encode_backend
+        assert lanes & (lanes - 1) == 0 and 1 <= lanes <= 4096, lanes
+        # interleave-lane cap for tpu-format streams: rate (4 B/lane/section)
+        # vs decode latency; recorded in the header so any codec can decode
+        self.lanes = lanes
         self.spec = spec
         self.module = spec.module
         self.params = params
@@ -214,7 +219,7 @@ class Codec:
         for lo, hi in self._tpu_y_sections(Cy):
             sec_s = y_sym[..., lo:hi].reshape(B, -1)
             sec_i = y_idx[..., lo:hi].reshape(B, -1)
-            L = section_lanes(sec_s.shape[1])
+            L = section_lanes(sec_s.shape[1], self.lanes)
             v, m = encode_sections(sec_s.reshape(B, -1, L),
                                    sec_i.reshape(B, -1, L), self._dtable("y"))
             vals.append(v)
@@ -223,7 +228,7 @@ class Codec:
                                           jnp.concatenate(masks, axis=1))
         Cz = z_sym.shape[-1]
         zN = z_sym.shape[1] * z_sym.shape[2] * Cz
-        Lz = section_lanes(zN)
+        Lz = section_lanes(zN, self.lanes)
         z_idx = jnp.broadcast_to(
             jnp.arange(Cz, dtype=jnp.int32),
             (B,) + z_sym.shape[1:3] + (Cz,)).reshape(B, -1, Lz)
@@ -267,7 +272,7 @@ class Codec:
         return jax.jit(f)
 
     def _decode_tpu_fn(self, B, zH, zW, yH, yW, recon: bool,
-                       include_latents: bool):
+                       include_latents: bool, lanes: int):
         """The whole decompress as ONE device graph: z entropy decode ->
         hyperdecoder -> (autoregressive ChARM slice chain with in-graph
         entropy decode | gaussian decode) -> optional reconstruction.
@@ -278,7 +283,7 @@ class Codec:
 
         def f(params, z_words, z_base, y_words, y_base, b1, b2):
             zN = zH * zW * Cz
-            Lz = section_lanes(zN)
+            Lz = section_lanes(zN, lanes)
             z_idx = jnp.broadcast_to(
                 jnp.arange(Cz, dtype=jnp.int32),
                 (B, zH, zW, Cz)).reshape(B, -1, Lz)
@@ -292,7 +297,7 @@ class Codec:
             cursor = jnp.zeros((B,), jnp.int32)
             if self.module.use_charm:
                 sc = Cy // self.num_slices
-                L = section_lanes(yH * yW * sc)
+                L = section_lanes(yH * yW * sc, lanes)
                 y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
                 for i in range(self.num_slices):
                     mu, idx = self.module.apply(
@@ -312,7 +317,7 @@ class Codec:
                 means, sigma = jnp.split(hyper_out, 2, axis=-1)
                 idx = self.module.apply(params, sigma,
                                         method=self.module.y_indexes)
-                L = section_lanes(yH * yW * Cy)
+                L = section_lanes(yH * yW * Cy, lanes)
                 sym, cursor, _ = decode_section(
                     y_words, y_base, cursor, None,
                     idx.astype(jnp.int32).reshape(B, -1, L),
@@ -350,16 +355,16 @@ class Codec:
                                 (cap,), jnp.uint16).at[:w.shape[0]].set(w)))
         return pad(jnp.asarray(padded)), jnp.asarray(base)
 
-    def _tpu_caps(self, B, yH, yW, zH, zW):
+    def _tpu_caps(self, B, yH, yW, zH, zW, lanes: int):
         """Static worst-case word capacities for the y and z buffers."""
         from ..ops.rans_device import WORST_WORDS_PER_SYM as WPS
         Cy, Cz = self.module.bottleneck_y, self.module.bottleneck_z
         y_cap = 0
         for lo, hi in self._tpu_y_sections(Cy):
             N = yH * yW * (hi - lo)
-            y_cap += 2 * section_lanes(N) + WPS * N
+            y_cap += 2 * section_lanes(N, lanes) + WPS * N
         zN = zH * zW * Cz
-        z_cap = 2 * section_lanes(zN) + WPS * zN
+        z_cap = 2 * section_lanes(zN, lanes) + WPS * zN
         return B * y_cap, B * z_cap
 
     # ------------------------------------------------------------------
@@ -480,12 +485,12 @@ class Codec:
                 N = y_sym_f.shape[1]
                 ns = N // self.num_slices if self.module.use_charm else N
                 for s0 in range(0, N, ns):
-                    L = section_lanes(ns)
+                    L = section_lanes(ns, self.lanes)
                     segs.append((y_sym_f[b, s0:s0 + ns].reshape(-1, L),
                                  y_idx_f[b, s0:s0 + ns].reshape(-1, L)))
                 return segs
 
-            Lz = section_lanes(z_idx1.size)
+            Lz = section_lanes(z_idx1.size, self.lanes)
             z_futs = [self._pool.submit(
                 tpu_encode_sections,
                 [(z_sym[b].reshape(-1, Lz), z_idx1.reshape(-1, Lz))],
@@ -504,7 +509,8 @@ class Codec:
             z_str = z_futs[b].result()
             y_str = y_futs[b].result()
             header = HeaderHandler.encode((H, W), max_abs_y, quality_ind,
-                                          tpu_format=tpu_host)
+                                          tpu_format=tpu_host,
+                                          lanes=self.lanes)
             r = dict(
                 string_list=[header, z_str, y_str],
                 pred_y_bpp=float(y_bits[b]) / num_pixel,
@@ -544,7 +550,7 @@ class Codec:
         for b in range(B):
             header = HeaderHandler.encode((H, W), max_abs_y,
                                           handle["quality_ind"],
-                                          tpu_format=True)
+                                          tpu_format=True, lanes=self.lanes)
             r = dict(
                 string_list=[header,
                              pz[z_off[b]:z_off[b + 1]].tobytes(),
@@ -585,12 +591,13 @@ class Codec:
         return self.decompress_raw(
             [s[1] for s in string_lists], [s[2] for s in string_lists],
             (H, W), beta_rate, beta_vq, defer_fetch=defer_fetch,
-            stream_format=fmt)
+            stream_format=fmt, lanes=headers[0]["lanes"])
 
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
                        img_size: Tuple[int, int], beta_rate: float,
                        beta_vq: float, defer_fetch: bool = False,
-                       stream_format: Optional[str] = None) -> np.ndarray:
+                       stream_format: Optional[str] = None,
+                       lanes: Optional[int] = None) -> np.ndarray:
         """defer_fetch=True returns a PendingImages handle with the d2h copy
         already started — call .fetch() later to overlap the transfer with
         the next batch's compute."""
@@ -605,7 +612,8 @@ class Codec:
 
         if (stream_format or self.stream_format) == "tpu":
             return self._decompress_tpu(z_strs, y_strs, (H, W), beta_rate,
-                                        beta_vq, defer_fetch)
+                                        beta_vq, defer_fetch,
+                                        lanes=lanes or self.lanes)
 
         # z: factorized decode, one shot per image (parallel across images)
         z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
@@ -652,7 +660,8 @@ class Codec:
     def _decompress_tpu(self, z_strs: List[bytes], y_strs: List[bytes],
                         img_size: Tuple[int, int], beta_rate: float,
                         beta_vq: float, defer_fetch: bool = False,
-                        include_latents: bool = False):
+                        include_latents: bool = False,
+                        lanes: Optional[int] = None):
         """Decode device-coded streams: upload the word buffers, run ONE
         jitted graph (z decode + hyper + ChARM chain + reconstruction),
         download flat uint8 pixels."""
@@ -663,7 +672,8 @@ class Codec:
         padW = -(-W // self.model_stride) * self.model_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
         yH, yW = padH // self.y_stride, padW // self.y_stride
-        y_cap, z_cap = self._tpu_caps(B, yH, yW, zH, zW)
+        lanes = lanes or self.lanes
+        y_cap, z_cap = self._tpu_caps(B, yH, yW, zH, zW, lanes)
         y_words, y_base = self._upload_words(y_strs, y_cap)
         z_words, z_base = self._upload_words(z_strs, z_cap)
         b1 = jnp.array([beta_rate], jnp.float32)
@@ -673,9 +683,9 @@ class Codec:
         split = max(H, W) > SPLIT_RESOLUTION
         recon = not split and not include_latents
         fn = self._get_jit(
-            ("tpu_dec", B, zH, zW, yH, yW, recon, include_latents),
+            ("tpu_dec", B, zH, zW, yH, yW, recon, include_latents, lanes),
             lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, recon,
-                                        include_latents))
+                                        include_latents, lanes))
         out = fn(self.params, z_words, z_base, y_words, y_base, b1, b2)
         if include_latents:
             return out
@@ -706,7 +716,7 @@ class Codec:
             br, bv = self.spec.quality_betas(hdr["quality_ind"])
             out = self._decompress_tpu(
                 [s[1] for s in string_lists], [s[2] for s in string_lists],
-                (H, W), br, bv, include_latents=True)
+                (H, W), br, bv, include_latents=True, lanes=hdr["lanes"])
             y_hat = np.asarray(out["y_hat"])
             z_hat = np.asarray(out["z_hat"])
             return all(

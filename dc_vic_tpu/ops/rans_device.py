@@ -53,13 +53,16 @@ WORST_WORDS_PER_SYM = 4   # renorm + tier-1 + 2 tier-2
 ESC_FLAG = 1 << 30        # escape marker bit in the dense value table
 
 
-def section_lanes(n_symbols: int) -> int:
+def section_lanes(n_symbols: int, cap: int = LANES) -> int:
     """Lane count for a section (both coder sides derive it from the symbol
-    count alone): a power-of-two divisor of n_symbols, <= LANES, and small
-    enough that each lane carries >= 16 symbols — flush overhead is 4 bytes
-    per lane, so tiny sections get few lanes."""
+    count and the stream's lane cap, which travels in the container header):
+    a power-of-two divisor of n_symbols, <= cap, and small enough that each
+    lane carries >= 16 symbols — flush overhead is 4 bytes per lane, so tiny
+    sections get few lanes. Higher caps trade rate (4 B/lane/section) for
+    decode latency (the device scan's per-step cost is fixed, so fewer,
+    wider steps are faster — see PERF.md)."""
     target = 1
-    while target * 2 <= min(LANES, max(1, n_symbols // 16)):
+    while target * 2 <= min(cap, max(1, n_symbols // 16)):
         target *= 2
     return math.gcd(n_symbols, target)
 

@@ -43,13 +43,17 @@ def codec(request, built):
 
 def test_header_roundtrip():
     for fmt in (False, True):
-        h = HeaderHandler.encode((768, 512), 17, 3, tpu_format=fmt)
+        h = HeaderHandler.encode((768, 512), 17, 3, tpu_format=fmt,
+                                 lanes=512)
         assert len(h) == 6
         d = HeaderHandler.decode(h)
         assert d["img_size"] == (768, 512)
-        assert d["max_sample"] == 17
         assert d["quality_ind"] == 3
         assert d["stream_format"] == ("tpu" if fmt else "compressai")
+        if fmt:
+            assert d["lanes"] == 512 and d["max_sample"] is None
+        else:
+            assert d["max_sample"] == 17 and d["lanes"] is None
 
 
 def test_container_roundtrip(tmp_path):
@@ -181,3 +185,20 @@ def test_packed_symbol_plane_unpack():
               | (sym + 512).astype(np.uint16))
     np.testing.assert_array_equal((packed & 1023).astype(np.int32) - 512, sym)
     np.testing.assert_array_equal((packed >> 10).astype(np.int32), idx)
+
+
+def test_lane_cap_roundtrip(built):
+    """A high-lane-cap (throughput-mode) stream decodes correctly on any
+    codec — the cap travels in the header."""
+    spec, params = built
+    c512 = Codec(spec, params, stream_format="tpu", lanes=512)
+    c128 = Codec(spec, params, stream_format="tpu", lanes=128)
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (1, 96, 80, 3), dtype=np.uint8)
+    res = c512.compress(img, quality_ind=1)
+    out_a = c512.decompress([res[0]["string_list"]])
+    out_b = c128.decompress([res[0]["string_list"]])  # header carries lanes
+    np.testing.assert_array_equal(out_a, out_b)
+    res_128 = c128.compress(img, quality_ind=1)
+    np.testing.assert_array_equal(
+        c512.decompress([res_128[0]["string_list"]]), out_a)
