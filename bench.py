@@ -51,6 +51,10 @@ def main():
 
     cfg = load_config(os.path.join(os.path.dirname(__file__),
                                    "config", "dc_vic_patchgan.yaml"))
+    # TPU deployment mode: bf16 conv stacks (entropy-critical path stays
+    # f32 — see DCVICModel.codec_dtype); toggle with BENCH_DTYPE=float32.
+    if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
+        cfg["codec_dtype"] = "bfloat16"
     spec = build_comp_model(cfg)
     module = spec.module
 

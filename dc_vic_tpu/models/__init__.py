@@ -120,6 +120,7 @@ def build_comp_model(opt, dtype=None) -> CompModelSpec:
         use_beta=use_beta,
         gumbel_sampling=model_cfg.get("gumbel_sampling", False),
         dtype=dtype,
+        codec_dtype=opt.get("codec_dtype"),
     )
 
     max_b1 = enc_kw.get("max_beta_1", 3.0) if use_beta else 0.0

@@ -113,16 +113,25 @@ class DCVICModel(nn.Module):
     gumbel_sampling: bool = False
     gumbel_tau: float = 1.0
     dtype: Optional[Dtype] = None
+    # Inference-time compute dtype for the FLOP-heavy conv stacks whose
+    # outputs never need bit-reproducibility across graphs (VQGAN encode,
+    # ELIC analysis transform, hyper-ENcoder, fused VQGAN decode). The
+    # entropy-critical modules (hyperdecoder, ChARM context) stay in
+    # self.dtype: their mu/sigma must match bit-exactly between the encode
+    # and decode graphs or the stream corrupts. "bfloat16" is the TPU
+    # deployment mode; None keeps everything in f32.
+    codec_dtype: Optional[str] = None
 
     def setup(self):
+        cd = jnp.bfloat16 if self.codec_dtype == "bfloat16" else self.dtype
         enc_cfg = dict(self.encoder_cfg or {})
         dec_cfg = dict(self.decoder_cfg or {})
         self.encoder = ENCODER_REGISTRY.get(self.encoder_type)(
-            dtype=self.dtype, name="encoder", **enc_cfg)
+            dtype=cd, name="encoder", **enc_cfg)
         self.decoder = DECODER_REGISTRY.get(self.decoder_type)(
             dtype=self.dtype, name="decoder", **dec_cfg)
         self.hyperencoder = HYPERENCODER_REGISTRY.get(self.hyperencoder_type)(
-            dtype=self.dtype, name="hyperencoder",
+            dtype=cd, name="hyperencoder",
             **dict(self.hyperencoder_cfg or {}))
         self.hyperdecoder = HYPERDECODER_REGISTRY.get(self.hyperdecoder_type)(
             dtype=self.dtype, name="hyperdecoder",
@@ -144,7 +153,7 @@ class DCVICModel(nn.Module):
         self.vq_model = VQModel(
             n_embed=self.n_embed, embed_dim=self.embed_dim,
             ddconfig=self.ddconfig,
-            with_decoder=self.enc_input_vq_recon, dtype=self.dtype,
+            with_decoder=self.enc_input_vq_recon, dtype=cd,
             name="vq_model")
         # ...and the decoder with trainable SFT fusion taps. Its non-fusion
         # parameters are populated with (and frozen to) the same VQGAN
@@ -157,13 +166,13 @@ class DCVICModel(nn.Module):
             resolution=dd.get("resolution", 256),
             z_channels=dd.get("z_channels", 4), out_ch=dd.get("out_ch", 3),
             fuse_schedule=self.fuse_schedule, fuse_type=self.fuse_type,
-            dtype=self.dtype, name="fused_decoder")
+            dtype=cd, name="fused_decoder")
 
     # ------------------------------------------------------------------ VQ
     def vq_encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Frozen VQGAN encode + nearest-codeword quantize.
         Returns (gt_vq_latent [B,h8,w8,D], gt_vq_indices [B,h8,w8])."""
-        h = self.vq_model.encode(x)
+        h = self.vq_model.encode(x).astype(jnp.float32)
         z_q, _, idx = self.vq_model.quantize(h)
         return jax.lax.stop_gradient(z_q), jax.lax.stop_gradient(idx)
 
@@ -171,7 +180,8 @@ class DCVICModel(nn.Module):
         """Pre-quant VQGAN latent of one tile batch (split-encode path:
         tiles are stitched on the host, then quantized via vq_quantize).
         Accepts uint8 tiles (normalized on device)."""
-        return self.vq_model.encode(to_model_range(x_tile))
+        return self.vq_model.encode(to_model_range(x_tile)
+                                    ).astype(jnp.float32)
 
     def vq_quantize(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         z_q, _, idx = self.vq_model.quantize(h)
@@ -198,6 +208,13 @@ class DCVICModel(nn.Module):
 
     # ------------------------------------------------------------- encode
     def comp_encode(self, x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq):
+        y = self._comp_encode_raw(x, gt_vq_latent, gt_vq_indices,
+                                  beta_rate, beta_vq)
+        # entropy estimation/coding runs in f32 whatever codec_dtype is
+        return y.astype(jnp.float32)
+
+    def _comp_encode_raw(self, x, gt_vq_latent, gt_vq_indices,
+                         beta_rate, beta_vq):
         if self.convert_img_range_to_01:
             x = (x + 1.0) / 2.0
         if self.enc_input_vq_recon:
@@ -223,7 +240,7 @@ class DCVICModel(nn.Module):
         rng_z = rng_y = None
         if rng is not None:
             rng_z, rng_y = jax.random.split(rng)
-        z = self.hyperencoder(y)
+        z = self.hyperencoder(y).astype(jnp.float32)
         z_hat, z_lik = self.entropy_z(z, is_train=is_train, rng=rng_z)
         _, z_q_lik = self.entropy_z(jax.lax.stop_gradient(z), is_train=False)
         hyper_out = self.hyperdecoder(z_hat)
@@ -269,6 +286,7 @@ class DCVICModel(nn.Module):
 
         vq_latent = self.vq_model.post_quant_conv(vq_latent)
         fake = self.fused_decoder(vq_latent, cond_feats, w)
+        fake = fake.astype(jnp.float32)
         if self.convert_img_range_to_01:
             fake = fake * 2.0 - 1.0  # back to the [-1,1] output contract
         return fake, pred_embed, logits, indices
@@ -362,7 +380,7 @@ class DCVICModel(nn.Module):
         a separate tile-batched graph)."""
         x = to_model_range(x)
         y = self.comp_encode(x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq)
-        z = self.hyperencoder(y)
+        z = self.hyperencoder(y).astype(jnp.float32)
         z_sym = self.entropy_z.quantize_symbols(z)
         z_hat = self.entropy_z.dequantize(z_sym)
         hyper_out = self.hyperdecoder(z_hat)

@@ -57,9 +57,13 @@ class VQAttnBlock(nn.Module):
         k = Conv(C, 1, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
         v = Conv(C, 1, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
         from ..ops.attention import flash_attention
-        out = flash_attention(q * (C ** -0.5), k, v).reshape(B, H, W, C)
+        # the Pallas kernel accumulates in f32; run it in f32 regardless of
+        # the surrounding conv compute dtype
+        out = flash_attention(
+            (q * (C ** -0.5)).astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32)).reshape(B, H, W, C)
         out = Conv(C, 1, dtype=self.dtype, name="proj_out")(out)
-        return x + out
+        return (x + out).astype(q.dtype)
 
 
 class Downsample(nn.Module):

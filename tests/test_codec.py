@@ -202,3 +202,28 @@ def test_lane_cap_roundtrip(built):
     res_128 = c128.compress(img, quality_ind=1)
     np.testing.assert_array_equal(
         c512.decompress([res_128[0]["string_list"]]), out_a)
+
+
+def test_codec_dtype_bf16_roundtrip():
+    """codec_dtype=bfloat16 runs the conv stacks in bf16 but keeps the
+    entropy path f32: streams still roundtrip bit-exactly on the latents."""
+    from helpers import tiny_config
+    cfg = tiny_config()
+    cfg["codec_dtype"] = "bfloat16"
+    spec = build_comp_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    beta = jnp.array([1.0])
+    params = jax.jit(
+        lambda r, xx: spec.module.init({"params": r}, xx, beta, beta,
+                                       is_train=False))(
+        rng, jnp.zeros((1, 64, 64, 3)))
+    # params stay f32 (param_dtype default) — checkpoint compatibility
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(params)
+               if a.dtype.kind == "f")
+    codec = Codec(spec, params)
+    img = np.random.default_rng(5).integers(0, 256, (2, 96, 80, 3), np.uint8)
+    res = codec.compress(img, quality_ind=1, debug=True)
+    out = codec.decompress([r["string_list"] for r in res])
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert codec.verify_roundtrip(res, [r["string_list"] for r in res],
+                                  (96, 80))
