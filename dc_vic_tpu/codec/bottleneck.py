@@ -124,9 +124,11 @@ class EntropyBottleneck(nn.Module):
 
     # --- codec paths -----------------------------------------------------
     def quantize_symbols(self, x: jnp.ndarray) -> jnp.ndarray:
-        """NHWC -> int32 symbols (round around the per-channel median)."""
+        """NHWC -> int32 symbols (round around the per-channel median),
+        clipped to the int16 transport range at the source so z_hat and the
+        coded stream always agree (see GaussianConditional.SYM_CLIP)."""
         med = self.medians().reshape(1, 1, 1, -1)
-        return jnp.round(x - med).astype(jnp.int32)
+        return jnp.clip(jnp.round(x - med), -32000, 32000).astype(jnp.int32)
 
     def dequantize(self, symbols: jnp.ndarray) -> jnp.ndarray:
         med = self.medians().reshape(1, 1, 1, -1)

@@ -287,7 +287,7 @@ class Codec:
             z_idx = jnp.broadcast_to(
                 jnp.arange(Cz, dtype=jnp.int32),
                 (B, zH, zW, Cz)).reshape(B, -1, Lz)
-            z_sym, _, _ = decode_section(
+            z_sym, z_cursor, _ = decode_section(
                 z_words, z_base, jnp.zeros((B,), jnp.int32), None, z_idx,
                 self._dtable("z"))
             hyper_out, z_hat = self.module.apply(
@@ -335,6 +335,15 @@ class Codec:
                 res["img"] = img.reshape(-1)
             elif "y_hat" not in res:
                 res["y_hat"] = y_hat
+            # The final per-image word-consumption counts are returned BOTH
+            # as a stream-integrity check (decoded-bytes accounting) and
+            # because they must stay live: with the final cursors dead, the
+            # XLA:TPU backend has been observed to miscompile the decode
+            # scans in large fused graphs (wrong symbols at ~2.5% of
+            # positions, reproducible; see tests/test_tiling.py large-image
+            # selfcheck and PERF.md). Keeping the carry outputs observable
+            # sidesteps the bad rewrite.
+            res["consumed_words"] = jnp.stack([z_cursor, cursor], axis=0)
             return res
         return jax.jit(f)
 

@@ -73,8 +73,15 @@ class GaussianConditional:
         return y_hat, lik
 
     # --- codec paths (deterministic, jittable) --------------------------------
+    # Coded symbols are clipped to +-32000 AT QUANTIZATION so y_hat, the
+    # int16 device->host planes, and the byte streams all see the same
+    # value — an unclipped y_hat would silently diverge from the decoder on
+    # pathological inputs (lossy only beyond 32000 quantization bins).
+    SYM_CLIP = 32000
+
     def quantize_symbols(self, y, means):
-        return jnp.round(y - means).astype(jnp.int32)
+        return jnp.clip(jnp.round(y - means), -self.SYM_CLIP,
+                        self.SYM_CLIP).astype(jnp.int32)
 
     def dequantize(self, symbols, means):
         return symbols.astype(means.dtype) + means

@@ -172,7 +172,8 @@ class DCVICModel(nn.Module):
     def vq_encode(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Frozen VQGAN encode + nearest-codeword quantize.
         Returns (gt_vq_latent [B,h8,w8,D], gt_vq_indices [B,h8,w8])."""
-        h = self.vq_model.encode(x).astype(jnp.float32)
+        h = jax.lax.optimization_barrier(
+            self.vq_model.encode(x).astype(jnp.float32))
         z_q, _, idx = self.vq_model.quantize(h)
         return jax.lax.stop_gradient(z_q), jax.lax.stop_gradient(idx)
 
@@ -210,8 +211,13 @@ class DCVICModel(nn.Module):
     def comp_encode(self, x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq):
         y = self._comp_encode_raw(x, gt_vq_latent, gt_vq_indices,
                                   beta_rate, beta_vq)
-        # entropy estimation/coding runs in f32 whatever codec_dtype is
-        return y.astype(jnp.float32)
+        # Entropy estimation/coding runs in f32 whatever codec_dtype is.
+        # The barrier pins the bf16->f32 boundary: without it XLA may
+        # rematerialize the cast with excess precision in one consumer, so
+        # round(y - mu) computed for the symbol plane and for y_hat can
+        # disagree by +-1 at ties — silently corrupting the stream (seen on
+        # TPU with codec_dtype=bfloat16 at 2048x1344).
+        return jax.lax.optimization_barrier(y.astype(jnp.float32))
 
     def _comp_encode_raw(self, x, gt_vq_latent, gt_vq_indices,
                          beta_rate, beta_vq):
@@ -240,7 +246,8 @@ class DCVICModel(nn.Module):
         rng_z = rng_y = None
         if rng is not None:
             rng_z, rng_y = jax.random.split(rng)
-        z = self.hyperencoder(y).astype(jnp.float32)
+        z = jax.lax.optimization_barrier(
+            self.hyperencoder(y).astype(jnp.float32))
         z_hat, z_lik = self.entropy_z(z, is_train=is_train, rng=rng_z)
         _, z_q_lik = self.entropy_z(jax.lax.stop_gradient(z), is_train=False)
         hyper_out = self.hyperdecoder(z_hat)
@@ -380,7 +387,8 @@ class DCVICModel(nn.Module):
         a separate tile-batched graph)."""
         x = to_model_range(x)
         y = self.comp_encode(x, gt_vq_latent, gt_vq_indices, beta_rate, beta_vq)
-        z = self.hyperencoder(y).astype(jnp.float32)
+        z = jax.lax.optimization_barrier(
+            self.hyperencoder(y).astype(jnp.float32))
         z_sym = self.entropy_z.quantize_symbols(z)
         z_hat = self.entropy_z.dequantize(z_sym)
         hyper_out = self.hyperdecoder(z_hat)

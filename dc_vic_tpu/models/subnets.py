@@ -694,9 +694,13 @@ class Minnen20CharmContextModel(nn.Module):
         for i, y_slice in enumerate(y_slices):
             mu, sigma, mean_support = self._mu_sigma(
                 i, hyper_mean, hyper_scale, y_hat_slices)
-            params = jnp.concatenate([mu, sigma], axis=-1)
-            y_hat_slice, lik = self.gaussian(y_slice, params, is_train=False)
-            syms.append(self.gaussian.quantize_symbols(y_slice, mu))
+            # y_hat MUST be derived from the (clipped) coded symbols, not
+            # re-rounded from y — otherwise pathological |sym| > SYM_CLIP
+            # values silently diverge from what the decoder reconstructs
+            sym = self.gaussian.quantize_symbols(y_slice, mu)
+            y_hat_slice = self.gaussian.dequantize(sym, mu)
+            lik = self.gaussian.likelihood(y_hat_slice, sigma, mu)
+            syms.append(sym)
             sigmas.append(sigma)
             liks.append(lik)
             y_hat_slice = self._lrp(i, mean_support, y_hat_slice)

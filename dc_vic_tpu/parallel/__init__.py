@@ -1,4 +1,6 @@
 from .mesh import (
+    best_mesh_size,
+    data_parallel_eval,
     data_parallel_step,
     make_mesh,
     replicate,

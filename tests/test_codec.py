@@ -227,3 +227,14 @@ def test_codec_dtype_bf16_roundtrip():
     assert out.shape == img.shape and out.dtype == np.uint8
     assert codec.verify_roundtrip(res, [r["string_list"] for r in res],
                                   (96, 80))
+
+
+def test_pathological_symbols_clip_consistently(codec):
+    """Inputs that drive |symbol| beyond the int16 transport clip must still
+    roundtrip: y_hat is derived from the CLIPPED coded symbols everywhere
+    (regression: big+bf16 on-chip selfcheck failure, round 2)."""
+    rng = np.random.default_rng(13)
+    img = (rng.uniform(-1, 1, (1, 64, 64, 3)) * 1e4).astype(np.float32)
+    res = codec.compress(img, quality_ind=0, debug=True)
+    assert codec.verify_roundtrip(res, [r["string_list"] for r in res],
+                                  (64, 64))
