@@ -2,18 +2,24 @@
 
 TPU-first restructure of the reference codec path (ref:
 src/models/comp_model/hyperprior_dc_vic_model.py:330-440 and
-hyperprior_charm_dc_vic_model.py:62-91):
+hyperprior_charm_dc_vic_model.py:62-91). The reference moves entropy models
++ hyperdecoder + context model to the CPU and interleaves torch convs with
+rANS calls per ChARM slice; here the pipeline is organized around what the
+hardware rewards:
 
-  * The reference moves entropy models + hyperdecoder + context model to the
-    CPU and interleaves torch convs with rANS calls. Here ALL transforms stay
-    on device as a handful of jitted graphs; the host does pure rANS byte
-    work in C++.
-  * Host<->device traffic is minimized for the tunnel-latency regime: encode
-    emits int16 symbols + uint8 CDF indexes + scalar stats (~0.9 MB/image);
-    decode returns uint8 pixels; per-image rate stats are device scalars.
-  * Encode is ONE device graph. The ChARM decode is inherently sequential
-    across slices: ONE fused device call per slice (reconstruct slice i +
-    predict slice i+1's mu/indexes), batched across images.
+  * Native "tpu" stream format (default): encode is ONE device graph
+    emitting compact symbol planes; the host C coder entropy-codes them OFF
+    the device critical path (overlapping the next batch's device compute);
+    decompress is ONE device graph — z entropy decode, hyperdecoder, the
+    full autoregressive ChARM slice chain with in-graph rANS decode, and
+    reconstruction — zero host round trips inside the slice loop.
+  * "compressai" stream format: bit-compatible with the reference's
+    compressai.ans streams; host coding, per-slice device steps with the
+    two batch halves interleaved so host rANS overlaps device compute.
+  * Transfers are shaped for the link: flat 1-D uint8 image buffers (tiled
+    NHWC layouts pay ~4x on d2h), fused stats buffers, chunk-quantized
+    stream uploads. See docs/PERF.md for the measurements behind each
+    choice.
   * jit caches are keyed by padded shape buckets, so a resolution sweep
     compiles once per bucket.
 """
