@@ -22,7 +22,7 @@ import numpy as np
 # v5e-1 (batch 24 OOMs at 22.5G/15.75G); larger batches amortize the
 # tunnel's ~30 ms sync floor.
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "4"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "6"))
 # Interleave-lane cap (throughput mode): the device decode scan's per-step
 # cost is fixed, so wider/fewer steps are faster; costs 4 bytes per lane per
 # stream section of rate (counted in the streams the bench moves).
