@@ -23,6 +23,10 @@ class HeaderHandler:
         reference writes max|y_hat| there and never reads it back,
         src/utils/codec_utils.py)."""
         H, W = img_size
+        if not 0 <= int(quality_ind) < 128:
+            raise ValueError(
+                f"quality_ind {quality_ind} out of range [0, 128): bit 7 of "
+                "the quality byte is the stream-format flag")
         qb = int(quality_ind) | (0x80 if tpu_format else 0)
         b3 = (int(lanes).bit_length() - 1 if tpu_format
               else min(255, max(0, int(max_abs_y))))

@@ -60,11 +60,15 @@ class PendingImages:
     uint8 buffer (fast-path d2h) and the host reshapes/crops on fetch. Fetch
     later to overlap the transfer with the next batch's compute."""
 
-    def __init__(self, data, meta):
+    def __init__(self, data, meta, check=None):
         self._data = data      # device flat buffer, or host np [B,H,W,3]
         self._meta = meta      # (B, padH, padW, H, W) or None if already np
+        self._check = check    # optional stream-integrity callback
 
     def fetch(self) -> np.ndarray:
+        if self._check is not None:
+            self._check()
+            self._check = None
         if self._meta is None:
             return self._data
         B, padH, padW, H, W = self._meta
@@ -249,11 +253,18 @@ class Codec:
             out["y_indexes"].astype(jnp.int32),
             out["z_symbols"].astype(jnp.int32))
         # one fused stats buffer (single small d2h): bit estimates + word
-        # counts (exact in f32: counts < 2^24)
+        # counts. A raw f32 count is only exact below 2^24 words (~32 MB/
+        # image) and nothing bounds stream size for adversarial inputs, so
+        # each int32 count travels as two exactly-representable f32 halves
+        # (hi = count >> 12, lo = count & 0xFFF) — exact below 2^36 words.
+        def f32_split(c):
+            c = c.astype(jnp.int32)
+            return jnp.concatenate([(c >> 12).astype(jnp.float32),
+                                    (c & 0xFFF).astype(jnp.float32)])
         stats = jnp.concatenate([
             out["y_bits"], out["z_bits"],
             out["max_abs_y"][None], out["max_abs_sym"][None],
-            y_counts.astype(jnp.float32), z_counts.astype(jnp.float32)])
+            f32_split(y_counts), f32_split(z_counts)])
         res = dict(stats=stats, packed_y=packed_y, packed_z=packed_z)
         if include_latents:
             res.update(y_hat=out["y_hat"], z_hat=out["z_hat"])
@@ -362,9 +373,15 @@ class Codec:
         base = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int32)
         words = np.frombuffer(b"".join(strings), np.uint16)
         n = len(words)
+        if n > cap:
+            raise ValueError(
+                f"stream words ({n}) exceed the static decode capacity "
+                f"({cap}) for this geometry — truncating would decode to "
+                "garbage; the streams do not belong to this (B, resolution, "
+                "lanes) configuration")
         ch = self._WORD_CHUNK
         padded = np.zeros((min((n + ch - 1) // ch * ch, cap),), np.uint16)
-        padded[:n] = words[:cap]
+        padded[:n] = words
         pad = self._get_jit(("wpad", padded.shape[0], cap),
                             lambda: jax.jit(lambda w: jnp.zeros(
                                 (cap,), jnp.uint16).at[:w.shape[0]].set(w)))
@@ -427,11 +444,17 @@ class Codec:
         # Start d2h only for the fused buffers finalize reads (everything
         # else — y_symbols/y_indexes fallback planes, debug latents — stays
         # on device unless actually fetched).
+        # (tpu_dev emits no sym_plane — skip missing keys rather than bail,
+        # so 'stats' still prefetches; packed_y/packed_z are capacity-sized
+        # and deliberately NOT prefetched: finalize fetches exact-size
+        # chunk-quantized slices instead.)
         for k in ("sym_plane", "stats"):
+            if k not in out:
+                continue
             try:
                 out[k].copy_to_host_async()
-            except (AttributeError, KeyError):
-                break
+            except AttributeError:
+                pass
         fmt = ("tpu_dev" if tpu_dev else
                "tpu_host" if self.stream_format == "tpu" else "compressai")
         return dict(out=out, B=B, H=H, W=W, quality_ind=quality_ind,
@@ -547,8 +570,18 @@ class Codec:
         stats = np.asarray(out["stats"])
         y_bits, z_bits = stats[:B], stats[B:2 * B]
         max_abs_y = int(stats[2 * B])
-        y_counts = stats[2 * B + 2: 2 * B + 2 + B].astype(np.int64)
-        z_counts = stats[2 * B + 2 + B: 2 * B + 2 + 2 * B].astype(np.int64)
+
+        def f32_join(seg):  # inverse of _tpu_finish_encode's f32_split
+            return (seg[:B].astype(np.int64) << 12) | seg[B:].astype(np.int64)
+        y_counts = f32_join(stats[2 * B + 2: 2 * B + 2 + 2 * B])
+        z_counts = f32_join(stats[2 * B + 2 + 2 * B: 2 * B + 2 + 4 * B])
+        if (y_counts.sum() > out["packed_y"].shape[0]
+                or z_counts.sum() > out["packed_z"].shape[0]):
+            raise RuntimeError(
+                "tpu-format stream word counts exceed the packed buffer "
+                f"capacity (y={y_counts.sum()}/{out['packed_y'].shape[0]}, "
+                f"z={z_counts.sum()}/{out['packed_z'].shape[0]}) — "
+                "corrupt encode stats")
         ch = self._WORD_CHUNK
 
         def fetch(packed, total):
@@ -702,19 +735,44 @@ class Codec:
             lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, recon,
                                         include_latents, lanes))
         out = fn(self.params, z_words, z_base, y_words, y_base, b1, b2)
+        check = lambda: self._check_consumed(out["consumed_words"],
+                                             z_strs, y_strs)
         if include_latents:
+            check()
             return out
         if split:
             fake = self._split_reconstruct(out["y_hat"], b1, b2, B,
                                            padH, padW)[:, :H, :W, :]
+            check()
             return PendingImages(fake, None) if defer_fetch else fake
         img = out["img"]
         try:
             img.copy_to_host_async()
+            out["consumed_words"].copy_to_host_async()
         except AttributeError:
             pass
-        pending = PendingImages(img, (B, padH, padW, H, W))
+        # validated at fetch time — the tiny consumed_words d2h rides along
+        # with the image transfer instead of forcing an extra sync here
+        pending = PendingImages(img, (B, padH, padW, H, W), check=check)
         return pending if defer_fetch else pending.fetch()
+
+    @staticmethod
+    def _check_consumed(consumed, z_strs: List[bytes], y_strs: List[bytes]):
+        """Stream-integrity check: the decode scans must consume exactly the
+        words each stream contains (flush + renorm + side channel account for
+        every encoder-emitted word). A truncated/corrupt/mismatched stream
+        desynchronizes the renorm pattern and fails here instead of silently
+        decoding garbage pixels."""
+        got = np.asarray(consumed)  # [2, B] = (z, y) final cursors
+        want_z = np.array([len(s) // 2 for s in z_strs], got.dtype)
+        want_y = np.array([len(s) // 2 for s in y_strs], got.dtype)
+        if not (np.array_equal(got[0], want_z)
+                and np.array_equal(got[1], want_y)):
+            raise RuntimeError(
+                "tpu-format stream integrity check failed: decode consumed "
+                f"z={got[0].tolist()} / y={got[1].tolist()} words, streams "
+                f"contain z={want_z.tolist()} / y={want_y.tolist()} — "
+                "corrupt or mismatched bitstream")
 
     def verify_roundtrip(self, results: List[Dict],
                          string_lists: List[List[bytes]],

@@ -349,8 +349,13 @@ int dcvic_tpu_encode_section(const int32_t *sym, const int32_t *idx, int n,
     const int32_t maxv = t.cdf_lengths[index] - 2;
     const int32_t value = sym[i] - t.offsets[index];
     if (value >= 0 && value < maxv) continue;
-    const uint32_t raw = value < 0 ? static_cast<uint32_t>(-2 * value - 1)
-                                   : static_cast<uint32_t>(2 * (value - maxv));
+    // zigzag in int64: -2*value-1 / 2*(value-maxv) would be signed int32
+    // overflow (UB) for |value| near 2^31; the result always fits uint32
+    // for any int32 input (max is 2^32-1 at value = INT32_MIN).
+    const int64_t v64 = static_cast<int64_t>(value);
+    const uint32_t raw = value < 0
+        ? static_cast<uint32_t>(-2 * v64 - 1)
+        : static_cast<uint32_t>(2 * (v64 - maxv));
     if (raw >= kTier1Marker) {
       tier1.push_back(static_cast<uint16_t>(kTier1Marker));
       tier2.push_back(static_cast<uint16_t>(raw & 0xFFFF));

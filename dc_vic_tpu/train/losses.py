@@ -169,7 +169,8 @@ class OasisGANLoss:
 class LPIPSLoss:
     """Perceptual loss. The reference uses the lpips pip package (AlexNet);
     here the feature network + calibration weights must be converted from the
-    released artifacts (see metrics/lpips.py). When weights are unavailable
+    released artifacts (see metrics/feature_nets.py). When weights are
+    unavailable
     the loss degrades to a multi-scale gradient-domain L1 proxy so training
     still runs end-to-end (flagged via `calibrated`)."""
     loss_weight: float

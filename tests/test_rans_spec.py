@@ -123,6 +123,43 @@ def test_c_coder_matches_python_spec(seed, n, esc_rate):
     np.testing.assert_array_equal(dec, sym)
 
 
+def test_pmf_to_quantized_cdf_exact_fixtures():
+    """Pin the exact integer outputs of pmf_to_quantized_cdf (not just the
+    invariants): constants hand-derived by stepping through the published
+    CompressAI algorithm (round -> uint32 renormalize -> partial_sum ->
+    zero-bin steal from the lowest freq>1 bin; ref usage:
+    src/models/comp_model/hyperprior_dc_vic_model.py:66-68). Bitstream
+    parity depends on these table bytes, so they are locked here.
+
+    Derivations (precision=16):
+      * [0.5,0.25,0.25]: rounds to [32768,16384,16384], total=2^16 so the
+        renormalize is identity; prefix sum.
+      * [0.3,0.3,0.4]: 0.3*65536=19660.8 rounds UP (half away from zero),
+        0.4*65536=26214.4 rounds down; total is exactly 2^16.
+      * [0.6,0.6]: unnormalized pmf, total=78644 != 2^16 exercises the
+        floor((2^16*c)/total) renormalize: floor(65536*39322/78644)=32768
+        for both entries (then cdf.back() forced to 2^16).
+      * [1.0,1e-9,1e-9]: two zero bins AFTER the mass -> two successive
+        steals from bin 0 (best_steal < i decrements cdf[steal+1..i]).
+      * [1e-9,1.0,1e-9]: zero bins on BOTH sides -> one steal to the right
+        (best_steal > i increments cdf[i+1..steal]) and one to the left.
+      * [0.2,0.0,0.5,0.3]: interior zero bin; lowest freq>1 donor is bin 0
+        (13107), not the largest bin.
+    """
+    from dc_vic_tpu.ops.cdf import pmf_to_quantized_cdf
+    fixtures = [
+        ([0.5, 0.25, 0.25], [0, 32768, 49152, 65536]),
+        ([0.3, 0.3, 0.4], [0, 19661, 39322, 65536]),
+        ([0.6, 0.6], [0, 32768, 65536]),
+        ([1.0, 1e-9, 1e-9], [0, 65534, 65535, 65536]),
+        ([1e-9, 1.0, 1e-9], [0, 1, 65535, 65536]),
+        ([0.2, 0.0, 0.5, 0.3], [0, 13106, 13107, 45875, 65536]),
+    ]
+    for pmf, want in fixtures:
+        got = pmf_to_quantized_cdf(pmf).tolist()
+        assert got == want, f"pmf={pmf}: got {got}, want {want}"
+
+
 def test_pmf_to_quantized_cdf_spec():
     """ops/cdf.py must satisfy the CompressAI CDF invariants: cdf[0] == 0,
     cdf[-1] == 2^16, strictly increasing (no zero-width bins), and the
