@@ -8,6 +8,15 @@ architecture.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 20 (BASELINE.json north-star: >=20 img/s/chip).
+
+Robustness to shared-link weather (the tunnel's h2d/d2h bandwidth swings
+25-91 MB/s run to run, docs/PERF.md section 1): alongside the headline
+best-cycle number the JSON carries "median" (median steady-state cycle) and
+"device_only" (pure device-graph throughput with inputs resident — no link,
+no host coding). A bad-window run shows best/median collapsing while
+device_only stays put, making regressions attributable. The persistent
+compile cache lives in .jax_cache/ next to this file (survives /tmp
+cleanup), so a cold driver run doesn't eat minutes of compile time.
 """
 from __future__ import annotations
 
@@ -33,9 +42,11 @@ TARGET = 20.0
 
 def enable_cache():
     import jax
+    default_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/jax_bench_cache"))
+                                     default_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -115,12 +126,23 @@ def main():
         handle = nxt
         cycle_times.append(time.perf_counter() - t0)
     ips = BATCH / min(cycle_times)
+    med_ips = BATCH / float(np.median(cycle_times))
+
+    # Pure device-graph decomposition: stable under link weather.
+    dev = codec.bench_device_cycle(imgs, quality_ind=0)
+    dev_total = dev["enc_s"] + dev["dec_s"]
+    dev_ips = BATCH / dev_total
 
     print(json.dumps({
         "metric": "images/sec/chip enc+dec at Kodak 768x512",
         "value": round(ips, 3),
         "unit": "img/s",
         "vs_baseline": round(ips / TARGET, 3),
+        "median": round(med_ips, 3),
+        "device_only": round(dev_ips, 3),
+        "device_enc_s": round(dev["enc_s"], 3),
+        "device_dec_s": round(dev["dec_s"], 3),
+        "cycles_s": [round(t, 3) for t in cycle_times],
     }))
 
 

@@ -42,6 +42,7 @@ from ..ops.rans_device import (
     DeviceCdfTable,
     decode_section,
     encode_sections,
+    encode_stream,
     pack_streams,
     section_lanes,
 )
@@ -222,20 +223,21 @@ class Codec:
 
     def _tpu_pack(self, y_sym, y_idx, z_sym):
         """Traced: device-entropy-encode the symbol planes into two packed
-        word buffers (per-image y and z streams; ChARM slice streams stored
-        back to back inside each y stream)."""
+        word buffers (per-image y and z streams; ChARM slice sections chained
+        inside each y stream — one flush per stream, not per section)."""
         B, yH, yW, Cy = y_sym.shape
-        vals, masks = [], []
+        sections = []
+        L0 = None
         for lo, hi in self._tpu_y_sections(Cy):
             sec_s = y_sym[..., lo:hi].reshape(B, -1)
             sec_i = y_idx[..., lo:hi].reshape(B, -1)
             L = section_lanes(sec_s.shape[1], self.lanes)
-            v, m = encode_sections(sec_s.reshape(B, -1, L),
-                                   sec_i.reshape(B, -1, L), self._dtable("y"))
-            vals.append(v)
-            masks.append(m)
-        packed_y, y_counts = pack_streams(jnp.concatenate(vals, axis=1),
-                                          jnp.concatenate(masks, axis=1))
+            L0 = L if L0 is None else L0
+            assert L == L0, "ChARM slices share geometry, so lanes must match"
+            sections.append((sec_s.reshape(B, -1, L),
+                             sec_i.reshape(B, -1, L)))
+        vals, mask = encode_stream(sections, self._dtable("y"))
+        packed_y, y_counts = pack_streams(vals, mask)
         Cz = z_sym.shape[-1]
         zN = z_sym.shape[1] * z_sym.shape[2] * Cz
         Lz = section_lanes(zN, self.lanes)
@@ -316,12 +318,13 @@ class Codec:
                 sc = Cy // self.num_slices
                 L = section_lanes(yH * yW * sc, lanes)
                 y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
+                lane_state = None  # chained across slices: one flush/stream
                 for i in range(self.num_slices):
                     mu, idx = self.module.apply(
                         params, i, hyper_out, y_prev,
                         method=self.module.charm_slice_params)
-                    sym, cursor, _ = decode_section(
-                        y_words, y_base, cursor, None,
+                    sym, cursor, lane_state = decode_section(
+                        y_words, y_base, cursor, lane_state,
                         idx.astype(jnp.int32).reshape(B, -1, L),
                         self._dtable("y"))
                     y_slice = self.module.apply(
@@ -755,6 +758,77 @@ class Codec:
         # with the image transfer instead of forcing an extra sync here
         pending = PendingImages(img, (B, padH, padW, H, W), check=check)
         return pending if defer_fetch else pending.fetch()
+
+    def bench_device_cycle(self, images: np.ndarray,
+                           quality_ind: Optional[int] = None,
+                           beta_rate: Optional[float] = None,
+                           beta_vq: Optional[float] = None,
+                           iters: int = 3) -> Dict[str, float]:
+        """Time the pure DEVICE graphs of one codec cycle — encode graph and
+        (tpu-format) decode graph — with every input already resident on
+        device. Excludes the host link, h2d/d2h transfers, and host entropy
+        coding entirely, so the number is stable under shared-link weather
+        and regressions in it are attributable to the graphs themselves
+        (bench.py reports it as "device_only"). Returns median seconds per
+        batch for each graph."""
+        import time as _time
+        assert self.stream_format == "tpu", "device cycle needs tpu format"
+        if quality_ind is not None:
+            beta_rate, beta_vq = self.spec.quality_betas(quality_ind)
+        images = np.asarray(images)
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        x = _pad_np(images)
+        b1 = jnp.array([beta_rate], jnp.float32)
+        b2 = jnp.array([beta_vq], jnp.float32)
+
+        tpu_dev = self.encode_backend == "device"
+        if tpu_dev:
+            self._ensure_dtables()
+        enc = self._get_jit(
+            ("enc", tpu_dev, x.shape, False),
+            lambda: (self._encode_tpu_fn(x.shape, False) if tpu_dev
+                     else self._encode_fn(x.shape, False)))
+        x_dev = jax.block_until_ready(
+            jnp.asarray(np.ascontiguousarray(x).reshape(-1)))
+
+        def run_enc():
+            return jax.block_until_ready(enc(self.params, x_dev, b1, b2))
+        run_enc()  # compile/warm
+        enc_times = []
+        for _ in range(iters):
+            t0 = _time.perf_counter()
+            run_enc()
+            enc_times.append(_time.perf_counter() - t0)
+
+        # streams once (any path), then stage the decode graph inputs
+        res = self.compress(images, beta_rate=beta_rate, beta_vq=beta_vq)
+        z_strs = [r["string_list"][1] for r in res]
+        y_strs = [r["string_list"][2] for r in res]
+        padH = -(-H // self.model_stride) * self.model_stride
+        padW = -(-W // self.model_stride) * self.model_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        self._ensure_dtables()
+        y_cap, z_cap = self._tpu_caps(B, yH, yW, zH, zW, self.lanes)
+        y_words, y_base = self._upload_words(y_strs, y_cap)
+        z_words, z_base = self._upload_words(z_strs, z_cap)
+        jax.block_until_ready((y_words, z_words))
+        fn = self._get_jit(
+            ("tpu_dec", B, zH, zW, yH, yW, True, False, self.lanes),
+            lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, True, False,
+                                        self.lanes))
+
+        def run_dec():
+            return jax.block_until_ready(
+                fn(self.params, z_words, z_base, y_words, y_base, b1, b2))
+        run_dec()
+        dec_times = []
+        for _ in range(iters):
+            t0 = _time.perf_counter()
+            run_dec()
+            dec_times.append(_time.perf_counter() - t0)
+        return {"enc_s": float(np.median(enc_times)),
+                "dec_s": float(np.median(dec_times))}
 
     @staticmethod
     def _check_consumed(consumed, z_strs: List[bytes], y_strs: List[bytes]):

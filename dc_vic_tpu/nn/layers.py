@@ -31,8 +31,59 @@ def conv_pad(k: int) -> Sequence[Tuple[int, int]]:
     return [(p, p), (p, p)]
 
 
+def _use_pallas_conv3(x, features: int) -> bool:
+    """Route qualifying 3x3 convs through the Pallas kernel: TPU backend,
+    wide channels (>=128 both sides, where the kernel beats XLA's lowering —
+    see scripts/conv_microbench.py / docs/PERF.md), big enough spatial plane
+    to amortize the per-call grid setup. Overridable via DCVIC_PALLAS_CONV
+    (0 forces XLA, 1 forces on wherever shapes qualify)."""
+    import os
+    env = os.environ.get("DCVIC_PALLAS_CONV")
+    if env == "0":
+        return False
+    import jax
+    if jax.default_backend() != "tpu":
+        return False
+    B, H, W, C = x.shape
+    # lane-aligned channels only (C=192 planes pad 25% of the MXU; measure
+    # before widening the gate) and a big-enough spatial plane: at the
+    # 96x64-latent shape XLA's lowering wins (87 vs 77 TF/s), from 192x128
+    # up the Pallas kernel wins (133 vs ~80) — scripts/conv_microbench.py
+    return (C % 128 == 0 and features % 128 == 0
+            and min(C, features) >= 128
+            and H % 2 == 0 and W % 2 == 0
+            and H * W >= 12288 and B * H * W >= 16384)
+
+
+class PallasConv3(nn.Module):
+    """3x3 SAME conv via ops/conv3x3.py, with nn.Conv-compatible parameter
+    names/shapes (kernel HWIO + bias) so checkpoints interchange freely with
+    the XLA path."""
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3x3 import conv3x3_same
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, self.features))
+        dt = self.dtype or x.dtype
+        y = conv3x3_same(x.astype(dt), kernel.astype(dt))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(dt)
+        return y
+
+
 class Conv(nn.Module):
-    """3x3/5x5/1x1 conv with torch-style symmetric padding (NHWC)."""
+    """3x3/5x5/1x1 conv with torch-style symmetric padding (NHWC).
+
+    3x3 stride-1 convs on wide-channel planes dispatch to the Pallas direct
+    kernel on TPU (measured well above XLA's conv lowering on the hot
+    reconstruction shapes; bit-identical parameter tree either way)."""
     features: int
     kernel: int = 3
     stride: int = 1
@@ -41,6 +92,10 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if (self.kernel == 3 and self.stride == 1
+                and _use_pallas_conv3(x, self.features)):
+            return PallasConv3(self.features, use_bias=self.use_bias,
+                               dtype=self.dtype, name="Conv_0")(x)
         return nn.Conv(
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),

@@ -66,13 +66,13 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_void_p, i32p]
 
         u16p = ctypes.POINTER(ctypes.c_uint16)
-        lib.dcvic_tpu_encode_section.restype = ctypes.c_int
-        lib.dcvic_tpu_encode_section.argtypes = [
-            i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        lib.dcvic_tpu_encode_stream.restype = ctypes.c_int
+        lib.dcvic_tpu_encode_stream.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
             u16p, ctypes.c_int]
-        lib.dcvic_tpu_decode_section.restype = ctypes.c_int
-        lib.dcvic_tpu_decode_section.argtypes = [
-            u16p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
+        lib.dcvic_tpu_decode_stream.restype = ctypes.c_int
+        lib.dcvic_tpu_decode_stream.argtypes = [
+            u16p, ctypes.c_int, i32p, i32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, i32p]
         _lib = lib
     return _lib
@@ -146,38 +146,62 @@ def _u16p(a: np.ndarray):
 
 def tpu_encode_sections(sections, table: CdfTable) -> bytes:
     """Host-side encoder for the TPU interleaved stream format
-    (byte-identical to ops/rans_device.encode_sections + pack_streams).
+    (byte-identical to ops/rans_device.encode_stream + pack_streams).
 
     sections: list of (symbols [n, L], indexes [n, L]) in decode order
-    (e.g. one per ChARM slice); the per-section streams are concatenated."""
+    (e.g. one per ChARM slice), all with the same L. Lane states chain
+    across sections: one 2L-word flush for the whole stream."""
     lib = _load()
-    parts = []
+    syms, idxs, sec_n = [], [], []
+    L = None
     for symbols, indexes in sections:
         symbols = np.ascontiguousarray(symbols, np.int32)
         indexes = np.ascontiguousarray(indexes, np.int32)
-        n, L = symbols.shape
-        cap = 2 * L + 4 * n * L + 16  # renorm + tier-1 + 2 tier-2 worst case
-        out = np.empty(cap, dtype=np.uint16)
-        r = lib.dcvic_tpu_encode_section(
-            _i32p(symbols), _i32p(indexes), n, L, table._h, _u16p(out), cap)
-        assert r >= 0, "tpu section encode overflow (cap bug)"
-        parts.append(out[:r])
-    return np.concatenate(parts).tobytes()
+        n, Ls = symbols.shape
+        assert L is None or Ls == L, "sections of one stream must share L"
+        L = Ls
+        syms.append(symbols.reshape(-1))
+        idxs.append(indexes.reshape(-1))
+        sec_n.append(n)
+    sym = np.concatenate(syms)
+    idx = np.concatenate(idxs)
+    sec_n = np.asarray(sec_n, np.int32)
+    cap = 2 * L + 4 * sym.size + 16  # renorm + tier-1 + 2 tier-2 worst case
+    out = np.empty(cap, dtype=np.uint16)
+    r = lib.dcvic_tpu_encode_stream(
+        _i32p(sym), _i32p(idx), _i32p(sec_n), len(sec_n), L, table._h,
+        _u16p(out), cap)
+    assert r >= 0, "tpu stream encode overflow (cap bug)"
+    return out[:r].tobytes()
 
 
-def tpu_decode_section(words: np.ndarray, offset: int, indexes,
-                       table: CdfTable):
-    """Host-side decoder for one section of a TPU-format stream.
-    words: uint16 array; offset: word cursor. Returns (symbols [n, L],
-    new offset)."""
+def tpu_decode_stream(words: np.ndarray, index_sections, table: CdfTable):
+    """Host-side decoder for a whole chained TPU-format stream.
+    index_sections: list of [n, L] index arrays in decode order (same L).
+    Returns (list of symbols [n, L], words consumed)."""
     lib = _load()
-    indexes = np.ascontiguousarray(indexes, np.int32)
-    n, L = indexes.shape
-    words = np.ascontiguousarray(words[offset:], np.uint16)
-    out = np.empty((n, L), dtype=np.int32)
-    used = lib.dcvic_tpu_decode_section(
-        _u16p(words), len(words), _i32p(indexes), n, L, table._h, _i32p(out))
-    return out, offset + used
+    idxs, sec_n = [], []
+    L = None
+    for indexes in index_sections:
+        indexes = np.ascontiguousarray(indexes, np.int32)
+        n, Ls = indexes.shape
+        assert L is None or Ls == L
+        L = Ls
+        idxs.append(indexes.reshape(-1))
+        sec_n.append(n)
+    idx = np.concatenate(idxs)
+    sec_n_arr = np.asarray(sec_n, np.int32)
+    words = np.ascontiguousarray(words, np.uint16)
+    out = np.empty(idx.size, dtype=np.int32)
+    used = lib.dcvic_tpu_decode_stream(
+        _u16p(words), len(words), _i32p(idx), _i32p(sec_n_arr),
+        len(sec_n), L, table._h, _i32p(out))
+    secs = []
+    o = 0
+    for n in sec_n:
+        secs.append(out[o:o + n * L].reshape(n, L))
+        o += n * L
+    return secs, used
 
 
 class RansEncoder:

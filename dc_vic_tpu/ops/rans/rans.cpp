@@ -331,90 +331,111 @@ constexpr uint32_t kTier1Marker = 0xFFFFu;
 
 extern "C" {
 
-// sym/idx: [n*L], step-major (symbol (t, lane) at t*L + lane).
+// sym/idx: [sum(sec_n)*L], step-major within each section (symbol (t, lane)
+// of section s at sec_base[s] + t*L + lane), sections concatenated in
+// DECODE order. Lane states CHAIN across sections: the reverse rANS pass
+// runs over sections last-to-first carrying the states through, so the
+// stream pays exactly ONE 2L-word flush (the per-section flush of the v2
+// format was a 5-20% rate tax at low bpp with production lane counts).
+// Layout: [2L flush][sec0 renorm|tier-1|tier-2][sec1 renorm|...]...
 // Returns words written, or a negative number if cap is insufficient.
-int dcvic_tpu_encode_section(const int32_t *sym, const int32_t *idx, int n,
-                             int L, const void *table, uint16_t *out,
-                             int cap) {
+int dcvic_tpu_encode_stream(const int32_t *sym, const int32_t *idx,
+                            const int32_t *sec_n, int n_sections, int L,
+                            const void *table, uint16_t *out, int cap) {
   const Table &t = *static_cast<const Table *>(table);
-  std::vector<uint32_t> x(L, kTpuL);
-  std::vector<uint16_t> w(static_cast<size_t>(n) * L);
-  std::vector<uint8_t> m(w.size(), 0);
-  std::vector<uint16_t> tier1;
-  std::vector<uint16_t> tier2;
-
-  // forward pass collects the side channel in (step, lane) order
-  for (int i = 0; i < n * L; ++i) {
-    const int32_t index = idx[i];
-    const int32_t maxv = t.cdf_lengths[index] - 2;
-    const int32_t value = sym[i] - t.offsets[index];
-    if (value >= 0 && value < maxv) continue;
-    // zigzag in int64: -2*value-1 / 2*(value-maxv) would be signed int32
-    // overflow (UB) for |value| near 2^31; the result always fits uint32
-    // for any int32 input (max is 2^32-1 at value = INT32_MIN).
-    const int64_t v64 = static_cast<int64_t>(value);
-    const uint32_t raw = value < 0
-        ? static_cast<uint32_t>(-2 * v64 - 1)
-        : static_cast<uint32_t>(2 * (v64 - maxv));
-    if (raw >= kTier1Marker) {
-      tier1.push_back(static_cast<uint16_t>(kTier1Marker));
-      tier2.push_back(static_cast<uint16_t>(raw & 0xFFFF));
-      tier2.push_back(static_cast<uint16_t>(raw >> 16));
-    } else {
-      tier1.push_back(static_cast<uint16_t>(raw));
-    }
+  int64_t total_steps = 0;
+  std::vector<int64_t> sec_base(n_sections);
+  for (int s = 0; s < n_sections; ++s) {
+    sec_base[s] = total_steps * L;
+    total_steps += sec_n[s];
   }
+  const size_t NE = static_cast<size_t>(total_steps) * L;
+  std::vector<uint16_t> w(NE);
+  std::vector<uint8_t> m(NE, 0);
+  std::vector<std::vector<uint16_t>> tier1(n_sections), tier2(n_sections);
 
-  // reverse rANS pass (escape bins, no bypass words in-stream)
-  for (int step = n - 1; step >= 0; --step) {
-    for (int l = 0; l < L; ++l) {
-      const int32_t index = idx[step * L + l];
-      const int32_t *cdf = t.row(index);
+  // forward pass collects each section's side channel in (step, lane) order
+  for (int s = 0; s < n_sections; ++s) {
+    const int64_t lo = sec_base[s];
+    const int64_t hi = lo + static_cast<int64_t>(sec_n[s]) * L;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int32_t index = idx[i];
       const int32_t maxv = t.cdf_lengths[index] - 2;
-      int32_t value = sym[step * L + l] - t.offsets[index];
-      if (value < 0 || value >= maxv) value = maxv;
-      const uint32_t start = static_cast<uint32_t>(cdf[value]);
-      const uint32_t freq = static_cast<uint32_t>(cdf[value + 1] - cdf[value]);
-      uint32_t xs = x[l];
-      if (xs >= (freq << 16)) {
-        const size_t pos = static_cast<size_t>(step) * L + l;
-        w[pos] = static_cast<uint16_t>(xs);
-        m[pos] = 1;
-        xs >>= 16;
+      const int32_t value = sym[i] - t.offsets[index];
+      if (value >= 0 && value < maxv) continue;
+      // zigzag in int64: -2*value-1 / 2*(value-maxv) would be signed int32
+      // overflow (UB) for |value| near 2^31; the result always fits uint32
+      // for any int32 input (max is 2^32-1 at value = INT32_MIN).
+      const int64_t v64 = static_cast<int64_t>(value);
+      const uint32_t raw = value < 0
+          ? static_cast<uint32_t>(-2 * v64 - 1)
+          : static_cast<uint32_t>(2 * (v64 - maxv));
+      if (raw >= kTier1Marker) {
+        tier1[s].push_back(static_cast<uint16_t>(kTier1Marker));
+        tier2[s].push_back(static_cast<uint16_t>(raw & 0xFFFF));
+        tier2[s].push_back(static_cast<uint16_t>(raw >> 16));
+      } else {
+        tier1[s].push_back(static_cast<uint16_t>(raw));
       }
-      xs = ((xs / freq) << 16) | ((xs % freq) + start);
-      x[l] = xs;
     }
   }
+
+  // reverse rANS pass, chained lane states (escape bins, no bypass words)
+  std::vector<uint32_t> x(L, kTpuL);
+  for (int s = n_sections - 1; s >= 0; --s) {
+    for (int step = sec_n[s] - 1; step >= 0; --step) {
+      for (int l = 0; l < L; ++l) {
+        const size_t pos = static_cast<size_t>(sec_base[s]) +
+                           static_cast<size_t>(step) * L + l;
+        const int32_t index = idx[pos];
+        const int32_t *cdf = t.row(index);
+        const int32_t maxv = t.cdf_lengths[index] - 2;
+        int32_t value = sym[pos] - t.offsets[index];
+        if (value < 0 || value >= maxv) value = maxv;
+        const uint32_t start = static_cast<uint32_t>(cdf[value]);
+        const uint32_t freq =
+            static_cast<uint32_t>(cdf[value + 1] - cdf[value]);
+        uint32_t xs = x[l];
+        if (xs >= (freq << 16)) {
+          w[pos] = static_cast<uint16_t>(xs);
+          m[pos] = 1;
+          xs >>= 16;
+        }
+        xs = ((xs / freq) << 16) | ((xs % freq) + start);
+        x[l] = xs;
+      }
+    }
+  }
+
+  int64_t need = 2 * L;
+  for (size_t i = 0; i < m.size(); ++i) need += m[i];
+  for (int s = 0; s < n_sections; ++s)
+    need += static_cast<int64_t>(tier1[s].size() + tier2[s].size());
+  if (need > cap) return -static_cast<int>(need);
 
   int k = 0;
-  if (cap < 2 * L) return -(2 * L);
   for (int l = 0; l < L; ++l) {
     out[k++] = static_cast<uint16_t>(x[l] & 0xFFFF);
     out[k++] = static_cast<uint16_t>(x[l] >> 16);
   }
-  const int need = k + static_cast<int>(tier1.size() + tier2.size());
-  for (size_t i = 0; i < w.size(); ++i) {
-    if (m[i]) {
-      if (k >= cap) return -(k + 1);
-      out[k++] = w[i];
-    }
+  for (int s = 0; s < n_sections; ++s) {
+    const int64_t lo = sec_base[s];
+    const int64_t hi = lo + static_cast<int64_t>(sec_n[s]) * L;
+    for (int64_t i = lo; i < hi; ++i)
+      if (m[i]) out[k++] = w[i];
+    for (uint16_t v : tier1[s]) out[k++] = v;
+    for (uint16_t v : tier2[s]) out[k++] = v;
   }
-  if (k + static_cast<int>(tier1.size() + tier2.size()) > cap)
-    return -(k + static_cast<int>(tier1.size() + tier2.size()));
-  (void)need;
-  for (uint16_t v : tier1) out[k++] = v;
-  for (uint16_t v : tier2) out[k++] = v;
   return k;
 }
 
-// Decode n*L symbols from `words` (forward); returns words consumed.
-int dcvic_tpu_decode_section(const uint16_t *words, int avail,
-                             const int32_t *idx, int n, int L,
-                             const void *table, int32_t *out_sym) {
+// Decode a whole chained stream (all sections); returns words consumed.
+int dcvic_tpu_decode_stream(const uint16_t *words, int avail,
+                            const int32_t *idx, const int32_t *sec_n,
+                            int n_sections, int L, const void *table,
+                            int32_t *out_sym) {
   const Table &t = *static_cast<const Table *>(table);
   std::vector<uint32_t> x(L);
-  std::vector<int32_t> esc_pos;  // flat positions of escapes, in order
   int cur = 0;
   const auto rd = [&]() -> uint32_t {
     return (cur < avail) ? words[cur++] : 0u;
@@ -424,44 +445,51 @@ int dcvic_tpu_decode_section(const uint16_t *words, int avail,
     const uint32_t hi = rd();
     x[l] = lo | (hi << 16);
   }
-  for (int step = 0; step < n; ++step) {
-    for (int l = 0; l < L; ++l) {
-      const int i = step * L + l;
-      const int32_t index = idx[i];
-      const uint16_t *lut = t.lut_row(index);
-      const int32_t *cdf = t.row(index);
-      const uint32_t cum = x[l] & 0xFFFF;
-      const int32_t s = lut[cum];
-      const uint32_t start = static_cast<uint32_t>(cdf[s]);
-      const uint32_t freq = static_cast<uint32_t>(cdf[s + 1] - cdf[s]);
-      uint32_t xs = freq * (x[l] >> 16) + cum - start;
-      if (xs < kTpuL) xs = (xs << 16) | rd();
-      x[l] = xs;
-      if (s == t.cdf_lengths[index] - 2) {
-        esc_pos.push_back(i);
-      } else {
-        out_sym[i] = s + t.offsets[index];
+  int64_t base = 0;
+  for (int s = 0; s < n_sections; ++s) {
+    std::vector<int64_t> esc_pos;  // flat positions of escapes, in order
+    for (int step = 0; step < sec_n[s]; ++step) {
+      for (int l = 0; l < L; ++l) {
+        const int64_t i = base + static_cast<int64_t>(step) * L + l;
+        const int32_t index = idx[i];
+        const uint16_t *lut = t.lut_row(index);
+        const int32_t *cdf = t.row(index);
+        const uint32_t cum = x[l] & 0xFFFF;
+        const int32_t sv = lut[cum];
+        const uint32_t start = static_cast<uint32_t>(cdf[sv]);
+        const uint32_t freq = static_cast<uint32_t>(cdf[sv + 1] - cdf[sv]);
+        uint32_t xs = freq * (x[l] >> 16) + cum - start;
+        if (xs < kTpuL) xs = (xs << 16) | rd();
+        x[l] = xs;
+        if (sv == t.cdf_lengths[index] - 2) {
+          esc_pos.push_back(i);
+        } else {
+          out_sym[i] = sv + t.offsets[index];
+        }
       }
     }
-  }
-  // side channel: tier-1 words, then tier-2 pairs for marked escapes
-  const int n_esc = static_cast<int>(esc_pos.size());
-  int t2 = cur + n_esc;
-  for (int e = 0; e < n_esc; ++e) {
-    const int i = esc_pos[e];
-    const int32_t index = idx[i];
-    const int32_t maxv = t.cdf_lengths[index] - 2;
-    uint32_t raw = (cur + e < avail) ? words[cur + e] : 0u;
-    if (raw == kTier1Marker) {
-      const uint32_t lo = (t2 < avail) ? words[t2++] : 0u;
-      const uint32_t hi = (t2 < avail) ? words[t2++] : 0u;
-      raw = lo | (hi << 16);
+    // this section's side channel: tier-1 words, then tier-2 pairs
+    const int n_esc = static_cast<int>(esc_pos.size());
+    int t2 = cur + n_esc;
+    for (int e = 0; e < n_esc; ++e) {
+      const int64_t i = esc_pos[e];
+      const int32_t index = idx[i];
+      const int32_t maxv = t.cdf_lengths[index] - 2;
+      uint32_t raw = (cur + e < avail) ? words[cur + e] : 0u;
+      if (raw == kTier1Marker) {
+        const uint32_t lo = (t2 < avail) ? words[t2++] : 0u;
+        const uint32_t hi = (t2 < avail) ? words[t2++] : 0u;
+        raw = lo | (hi << 16);
+      }
+      const int32_t v = (raw & 1) ? -static_cast<int32_t>(raw >> 1) - 1
+                                  : static_cast<int32_t>(raw >> 1) + maxv;
+      out_sym[i] = v + t.offsets[index];
     }
-    const int32_t v = (raw & 1) ? -static_cast<int32_t>(raw >> 1) - 1
-                                : static_cast<int32_t>(raw >> 1) + maxv;
-    out_sym[i] = v + t.offsets[index];
+    cur = t2;
+    base += static_cast<int64_t>(sec_n[s]) * L;
   }
-  return t2;
+  return cur;
 }
+
 
 }  // extern "C"

@@ -18,9 +18,15 @@ one stream in canonical (step, lane) order, so no per-lane length table is
 needed — the decoder's renormalization pattern reproduces the encoder's
 emission pattern exactly (Giesen-style interleaved rANS).
 
-Section layout (one section = one ChARM slice of one image):
+Stream layout (one stream = all ChARM slices of one image's y, or its z;
+one section = one ChARM slice). Lane states CHAIN across the sections of a
+stream — they are encoded in reverse section order carrying the rANS states
+through, so a stream pays exactly ONE 2L-word flush regardless of section
+count (v2 flushed per section: ~5-20% rate tax at the reference's low-bpp
+operating points with production lane counts):
 
-  [2L flush words][renorm words, (step, lane) order][tier-1][tier-2]
+  [2L flush words][sec0: renorm (step, lane) order | tier-1 | tier-2]
+                  [sec1: renorm | tier-1 | tier-2] ...
 
 Escapes use the CompressAI zigzag (value < 0 -> -2v-1, value >= max ->
 2(v-max)) but the raw payload is NOT bypass-coded into the rANS stream —
@@ -131,14 +137,11 @@ def _precompute(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable):
     return start, freq, esc, raw
 
 
-def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
-                    table: DeviceCdfTable
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Encode one section batch: sym/idx [B, n, L] int32.
-
-    Returns (vals [B, K] uint16, mask [B, K] bool): each image's stream words
-    in canonical order with a validity mask; K = 2L + 4nL is the static
-    worst case. Pack with pack_streams()."""
+def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
+                x0: jnp.ndarray):
+    """Reverse-encode one section starting from lane states x0 [B, L].
+    Returns (x_fin, vals [B, K], mask [B, K]) where vals/mask hold the
+    section's [renorm][tier-1][tier-2] words (no flush)."""
     B, n, L = sym.shape
     start, freq, esc, raw = _precompute(sym, idx, table)
     tr = lambda a: a.transpose(1, 0, 2)  # [n, B, L] scan layout
@@ -152,14 +155,9 @@ def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
         x = ((x1 // freq) << 16) | ((x1 % freq) + start)
         return x, (w, renorm)
 
-    x0 = jnp.full((B, L), RANS_L, jnp.uint32)
     # reverse=True: symbols are encoded last-to-first (rANS requirement) and
     # the stacked outputs still land at their forward step index.
     x_fin, (w_main, m_main) = jax.lax.scan(body, x0, xs_in, reverse=True)
-
-    flush = jnp.stack([(x_fin & jnp.uint32(0xFFFF)).astype(jnp.uint16),
-                       (x_fin >> 16).astype(jnp.uint16)],
-                      axis=-1).reshape(B, 2 * L)
 
     # side channel, (step, lane) order: tier-1 then tier-2
     big = esc & (raw >= TIER1_MARKER)
@@ -172,12 +170,47 @@ def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
                    axis=-1).reshape(B, -1)
     m2 = jnp.repeat(big_f, 2, axis=1)
 
-    vals = jnp.concatenate(
-        [flush, tr(w_main).reshape(B, -1), t1, t2], axis=1)
-    mask = jnp.concatenate(
-        [jnp.ones((B, 2 * L), bool), tr(m_main).reshape(B, -1),
-         esc_f, m2], axis=1)
+    vals = jnp.concatenate([tr(w_main).reshape(B, -1), t1, t2], axis=1)
+    mask = jnp.concatenate([tr(m_main).reshape(B, -1), esc_f, m2], axis=1)
+    return x_fin, vals, mask
+
+
+def encode_stream(sections, table: DeviceCdfTable
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode one multi-section stream with CHAINED lane states: sections is
+    a list of (sym [B, n_i, L], idx [B, n_i, L]) in decode order, all with
+    the same B and L. Lane states carry across sections (encoded in reverse
+    section order), so the stream pays ONE 2L-word flush instead of one per
+    section — at production lane counts the per-section flush was a ~5-20%
+    rate tax at the reference's low-bpp operating points.
+
+    Layout: [2L flush][sec0 renorm|tier-1|tier-2][sec1 renorm|...]...
+    Returns (vals [B, K], mask [B, K]); pack with pack_streams()."""
+    B, _, L = sections[0][0].shape
+    x = jnp.full((B, L), RANS_L, jnp.uint32)
+    blocks = []
+    for sym, idx in reversed(sections):
+        assert sym.shape[0] == B and sym.shape[2] == L, (
+            "all sections of one stream must share (B, L)")
+        x, vals, mask = _encode_one(sym, idx, table, x)
+        blocks.append((vals, mask))
+    blocks.reverse()
+    flush = jnp.stack([(x & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+                       (x >> 16).astype(jnp.uint16)],
+                      axis=-1).reshape(B, 2 * L)
+    vals = jnp.concatenate([flush] + [v for v, _ in blocks], axis=1)
+    mask = jnp.concatenate([jnp.ones((B, 2 * L), bool)]
+                           + [m for _, m in blocks], axis=1)
     return vals, mask
+
+
+def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
+                    table: DeviceCdfTable
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode one single-section stream: sym/idx [B, n, L] int32 (equivalent
+    to encode_stream with one section). Returns (vals [B, K] uint16, mask
+    [B, K] bool); K = 2L + 4nL is the static worst case."""
+    return encode_stream([(sym, idx)], table)
 
 
 def pack_streams(vals: jnp.ndarray, mask: jnp.ndarray
@@ -209,20 +242,25 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     img_base [B]: each image's stream start (in words);
     cursor [B]: per-image word offset (carries across sections of the same
     stream, e.g. consecutive ChARM slices);
-    state: ignored placeholder (pass None) — each section re-inits lanes.
+    state: lane states [B, L] carried from the previous section of the SAME
+    stream (chained format), or None for the stream's first section (reads
+    the 2L flush words and advances the cursor past them).
     Returns (symbols, new_cursor, final lane states [B, L])."""
-    del state
     B, n, L = idx.shape
     tidx_rows = idx * (1 << PRECISION)  # [B, n, L], add cum at runtime
     tr = lambda a: a.transpose(1, 0, 2)
 
-    # lane init: 2 little-endian words per lane, lanes ascending
-    lane2 = 2 * jnp.arange(L, dtype=jnp.int32)
-    gidx = img_base[:, None] + cursor[:, None] + lane2
-    low = jnp.take(words, gidx, mode="clip").astype(jnp.uint32)
-    high = jnp.take(words, gidx + 1, mode="clip").astype(jnp.uint32)
-    x0 = low | (high << 16)
-    cursor = cursor + 2 * L
+    if state is None:
+        # lane init: 2 little-endian words per lane, lanes ascending
+        lane2 = 2 * jnp.arange(L, dtype=jnp.int32)
+        gidx = img_base[:, None] + cursor[:, None] + lane2
+        low = jnp.take(words, gidx, mode="clip").astype(jnp.uint32)
+        high = jnp.take(words, gidx + 1, mode="clip").astype(jnp.uint32)
+        x0 = low | (high << 16)
+        cursor = cursor + 2 * L
+    else:
+        assert state.shape == (B, L), (state.shape, (B, L))
+        x0 = state
 
     def body(carry, rows_t):
         x, cur = carry

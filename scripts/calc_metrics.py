@@ -48,6 +48,8 @@ def to_pm1(u8: np.ndarray) -> np.ndarray:
 
 
 def main():
+    from dc_vic_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     args = parse_args()
     logger = get_root_logger()
 

@@ -83,6 +83,8 @@ def init_params(spec, model_path):
 
 
 def main():
+    from dc_vic_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     args = parse_args()
     opt = load_config(args.config_path)
     logger = get_root_logger()

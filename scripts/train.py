@@ -18,6 +18,8 @@ from dc_vic_tpu.utils.paths import PathHandler
 
 
 def main():
+    from dc_vic_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", type=str, required=True)
     p.add_argument("overrides", nargs="*", help="key.subkey=value overrides")

@@ -1,0 +1,213 @@
+"""CLI execution tests: run the public scripts as subprocesses.
+
+The reference's public surface is its scripts (ref: scripts/compress.py:85-144
+writes per-image .bin/.png + _bitrates.csv + _avg_bitrate.json;
+scripts/train.py:16-27; scripts/calc_metrics.py:331-360 writes _metrics.json).
+The layers beneath are unit-tested elsewhere; these tests execute the actual
+programs so arg plumbing, bucketing, CSV schemas, and selfcheck wiring cannot
+break invisibly.
+"""
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from helpers import tiny_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+
+
+def cli_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def run_cli(argv, timeout=900):
+    proc = subprocess.run([sys.executable] + argv, env=cli_env(),
+                          capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, (
+        f"CLI failed ({argv}):\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}")
+    return proc
+
+
+def write_tiny_yaml(path, extra=None):
+    import yaml
+    cfg = json.loads(json.dumps(tiny_config()))  # plain dicts for yaml
+    if extra:
+        cfg.update(json.loads(json.dumps(extra)))
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+
+def synth_image(rng, h, w):
+    yy, xx = np.meshgrid(np.linspace(0, 3, h), np.linspace(0, 3, w),
+                         indexing="ij")
+    base = (np.stack([np.sin(yy + p) * np.cos(xx + p)
+                      for p in (0.0, 1.1, 2.2)], -1) + 1) * 100
+    return np.clip(base + rng.normal(0, 10, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def test_compress_cli(tmp_path):
+    """compress.py over two resolution buckets with --decompress --selfcheck
+    --batch_size 2: asserts the _bitrates.csv schema, _avg_bitrate.json, and
+    per-image .bin/.png outputs (output shape parity with the reference's
+    scripts/compress.py:112-144)."""
+    cfg_path = tmp_path / "tiny.yaml"
+    write_tiny_yaml(cfg_path)
+    img_dir = tmp_path / "imgs"
+    save_dir = tmp_path / "out"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(4):
+        name = f"a{i}.png"
+        Image.fromarray(synth_image(rng, 96, 80)).save(img_dir / name)
+        names.append(name)
+    for i in range(2):
+        name = f"b{i}.png"
+        Image.fromarray(synth_image(rng, 64, 64)).save(img_dir / name)
+        names.append(name)
+
+    run_cli([os.path.join(SCRIPTS, "compress.py"),
+             "--config_path", str(cfg_path),
+             "--img_dir", str(img_dir), "--save_dir", str(save_dir),
+             "-q", "1", "--decompress", "--selfcheck", "--batch_size", "2"])
+
+    with open(save_dir / "_bitrates.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert sorted(r["img_name"] for r in rows) == sorted(names)
+    schema = ["img_name", "header_bit", "z_bit", "y_bit", "real_bit",
+              "real_bpp", "pred_bpp", "num_pixel"]
+    assert list(rows[0].keys()) == schema
+    for r in rows:
+        n_pix = int(r["num_pixel"])
+        assert n_pix in (96 * 80, 64 * 64)
+        # container = sum of parts + 3 uint32 length prefixes
+        assert (int(r["real_bit"]) == int(r["header_bit"])
+                + int(r["z_bit"]) + int(r["y_bit"]) + 3 * 32)
+        assert float(r["real_bpp"]) == pytest.approx(
+            int(r["real_bit"]) / n_pix)
+        assert float(r["pred_bpp"]) > 0
+    with open(save_dir / "_avg_bitrate.json") as f:
+        avg = json.load(f)["avg_bpp"]
+    assert avg == pytest.approx(np.mean([float(r["real_bpp"]) for r in rows]))
+    for name in names:
+        assert (save_dir / name.replace(".png", ".bin")).exists()
+        with Image.open(save_dir / name) as im:  # decompressed recon
+            assert im.size in ((80, 96), (64, 64))
+
+
+def test_train_cli(tmp_path):
+    """5-iteration train.py smoke over a synthetic OpenImages-layout dataset:
+    asserts the job dir (dumped config, log_loss.csv with finite losses) and
+    the saved checkpoint (ref: scripts/train.py:16-27 flow)."""
+    data_root = tmp_path / "openimage"
+    (data_root / "train_0").mkdir(parents=True)
+    kodak_root = tmp_path / "kodak"
+    kodak_root.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        Image.fromarray(synth_image(rng, 64, 64)).save(
+            data_root / "train_0" / f"img{i}.jpg")
+    for i in range(2):
+        Image.fromarray(synth_image(rng, 64, 64)).save(
+            kodak_root / f"kodim0{i}.png")
+
+    ckpt_root = tmp_path / "ckpt"
+    extra = {
+        "ckpt_root": str(ckpt_root),
+        "total_iter": 4, "start_iter": 0,
+        "log_step": 2, "eval_step": 1000, "save_step": 4, "time_step": 1000,
+        "keep_step": [4],
+        "trainer": {"type": "RateDistortionVqCodeTrainer"},
+        "dataset": {
+            "batch_size": 2,
+            "train_dataset": {"name": "openimage", "type": "ImageDataset",
+                              "image_size": 64, "resize_range": None,
+                              "root_dir": str(data_root),
+                              "subset_list": [0]},
+            "eval_dataset": {"name": "Kodak", "type": "ImageDataset",
+                             "root_dir": str(kodak_root)},
+        },
+        "optim": {"clip_max_norm": 1.0,
+                  "g_optimizer": {"type": "Adam", "lr": 1e-4},
+                  "aux_optimizer": {"type": "Adam", "lr": 1e-3}},
+        "loss": {
+            "rate_loss": {"type": "RateLoss", "loss_weight": 0.04},
+            "distortion_loss": {"type": "MSELoss", "loss_weight": 50,
+                                "normalize_img": True, "mse_scale": "0_1"},
+            "code_distortion_loss": {"type": "VanillaMSELoss",
+                                     "loss_weight": 0.1},
+            "code_ce_loss": {"type": "FocalCrossEntropyLoss", "gamma": 2.0,
+                             "loss_weight": 0.05},
+        },
+    }
+    cfg_path = tmp_path / "tiny_train_exp.yaml"
+    import yaml
+    cfg = json.loads(json.dumps(tiny_config(use_beta=False)))
+    cfg.update(json.loads(json.dumps(extra)))
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    run_cli([os.path.join(SCRIPTS, "train.py"),
+             "--config_path", str(cfg_path)])
+
+    job_dir = ckpt_root / "tiny_train_exp"
+    assert (job_dir / "config.yaml").exists()
+    log_csv = job_dir / "log_loss.csv"
+    assert log_csv.exists()
+    with open(log_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert rows, "no loss rows logged"
+    total_col = next(c for c in rows[0] if "total" in c or "loss" in c)
+    assert all(np.isfinite(float(r[total_col])) for r in rows)
+    ckpts = list((job_dir / "model").glob("*iter*"))
+    assert ckpts, f"no checkpoint saved under {job_dir / 'model'}"
+
+
+def test_calc_metrics_cli(tmp_path):
+    """calc_metrics.py over 3 real/fake pairs: asserts _metrics.json schema,
+    finite PSNR/MS-SSIM, bitrate passthrough from _avg_bitrate.json, and the
+    env-blocked perceptual metrics listed in `skipped` (ref output shape:
+    scripts/calc_metrics.py:331-360)."""
+    real_dir = tmp_path / "real"
+    fake_dir = tmp_path / "fake"
+    real_dir.mkdir()
+    fake_dir.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        r = synth_image(rng, 192, 192)
+        f = np.clip(r.astype(np.int32)
+                    + rng.integers(-6, 7, r.shape), 0, 255).astype(np.uint8)
+        Image.fromarray(r).save(real_dir / f"img{i}.png")
+        Image.fromarray(f).save(fake_dir / f"img{i}.png")
+    with open(fake_dir / "_avg_bitrate.json", "w") as f:
+        json.dump({"avg_bpp": 0.1234}, f)
+
+    run_cli([os.path.join(SCRIPTS, "calc_metrics.py"),
+             "--real_dir", str(real_dir), "--fake_dir", str(fake_dir)])
+
+    with open(fake_dir / "_metrics.json") as f:
+        m = json.load(f)
+    assert m["num_images"] == 3
+    assert m["bitrate"] == pytest.approx(0.1234)
+    assert 25 < m["psnr"] < 60          # small additive noise
+    assert 0.8 < m["ms_ssim"] <= 1.0
+    assert m["fid"] is None and m["lpips"] is None and m["dists"] is None
+    joined = " ".join(m["skipped"])
+    for name in ("fid", "lpips", "dists"):
+        assert name in joined

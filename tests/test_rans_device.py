@@ -16,6 +16,7 @@ from dc_vic_tpu.ops.rans_device import (
     DeviceCdfTable,
     decode_section,
     encode_sections,
+    encode_stream,
     pack_streams,
     section_lanes,
 )
@@ -26,22 +27,19 @@ def _gaussian_table(scales=(0.5, 1.0, 4.0, 16.0)) -> CdfTable:
     return GaussianConditional().build_cdf_table(np.asarray(scales))
 
 
-def _roundtrip(sym, idx, table, n_sections=1):
-    """sym/idx [B, N] -> per-image packed bytes -> decoded symbols."""
+def _roundtrip(sym, idx, table, n_sections=1, lane_cap=None):
+    """sym/idx [B, N] -> per-image packed bytes -> decoded symbols.
+    Multi-section streams use the chained format (one flush per stream),
+    exactly like the driver flow."""
     B, N = sym.shape
     ns = N // n_sections
-    L = section_lanes(ns)
+    L = section_lanes(ns, *(() if lane_cap is None else (lane_cap,)))
     dt = DeviceCdfTable(table)
-    vals, masks = [], []
-    for s in range(n_sections):
-        sl = slice(s * ns, (s + 1) * ns)
-        v, m = encode_sections(
-            jnp.asarray(sym[:, sl].reshape(B, -1, L)),
-            jnp.asarray(idx[:, sl].reshape(B, -1, L)), dt)
-        vals.append(v)
-        masks.append(m)
-    packed, counts = pack_streams(jnp.concatenate(vals, axis=1),
-                                  jnp.concatenate(masks, axis=1))
+    sections = [(jnp.asarray(sym[:, s * ns:(s + 1) * ns].reshape(B, -1, L)),
+                 jnp.asarray(idx[:, s * ns:(s + 1) * ns].reshape(B, -1, L)))
+                for s in range(n_sections)]
+    vals, mask = encode_stream(sections, dt)
+    packed, counts = pack_streams(vals, mask)
     counts = np.asarray(counts)
     packed = np.asarray(packed)[: int(counts.sum())]
 
@@ -53,15 +51,16 @@ def _roundtrip(sym, idx, table, n_sections=1):
     words = np.frombuffer(b"".join(strings), np.uint16)
 
     cursor = jnp.zeros((B,), jnp.int32)
+    state = None
     out = []
     for s in range(n_sections):
         sl = slice(s * ns, (s + 1) * ns)
-        dec, cursor, x_fin = decode_section(
-            jnp.asarray(words), jnp.asarray(base), cursor, None,
+        dec, cursor, state = decode_section(
+            jnp.asarray(words), jnp.asarray(base), cursor, state,
             jnp.asarray(idx[:, sl].reshape(B, -1, L)), dt)
         out.append(np.asarray(dec).reshape(B, -1))
-        # all lanes must drain to the initial encoder state
-        assert np.all(np.asarray(x_fin) == 1 << 16)
+    # after the LAST section all lanes drain to the initial encoder state
+    assert np.all(np.asarray(state) == 1 << 16)
     assert np.array_equal(np.asarray(cursor), counts)
     return np.concatenate(out, axis=1), sum(len(s) for s in strings)
 
@@ -157,8 +156,9 @@ def test_entropy_bottleneck_table_roundtrip():
 def test_c_host_coder_matches_device_coder():
     """The C host-side coder for the tpu format must produce byte-identical
     streams to the jnp device coder (the codec pipeline encodes on the host
-    and decodes on the device), and each must invert the other."""
-    from dc_vic_tpu.ops.rans import tpu_decode_section, tpu_encode_sections
+    and decodes on the device), and each must invert the other — including
+    the chained lane states across sections."""
+    from dc_vic_tpu.ops.rans import tpu_decode_stream, tpu_encode_sections
     table = _gaussian_table()
     dt = DeviceCdfTable(table)
     rng = np.random.default_rng(9)
@@ -171,15 +171,11 @@ def test_c_host_coder_matches_device_coder():
         sym = np.where(hot, rng.integers(-30000, 30000, (n, L)), sym)
         secs.append((sym.astype(np.int32), idx))
 
-    # device encode (B=1), sections concatenated
-    vals, masks = [], []
-    for sym, idx in secs:
-        v, m = encode_sections(jnp.asarray(sym[None]), jnp.asarray(idx[None]),
-                               dt)
-        vals.append(v)
-        masks.append(m)
-    packed, counts = pack_streams(jnp.concatenate(vals, axis=1),
-                                  jnp.concatenate(masks, axis=1))
+    # device encode (B=1), chained stream
+    vals, mask = encode_stream(
+        [(jnp.asarray(sym[None]), jnp.asarray(idx[None]))
+         for sym, idx in secs], dt)
+    packed, counts = pack_streams(vals, mask)
     dev_bytes = np.asarray(packed)[: int(np.asarray(counts)[0])].tobytes()
 
     host_bytes = tpu_encode_sections(secs, table)
@@ -187,18 +183,49 @@ def test_c_host_coder_matches_device_coder():
         f"host C coder diverges from device coder "
         f"({len(host_bytes)} vs {len(dev_bytes)} bytes)")
 
-    # C decode inverts, section by section with a carried cursor
+    # C stream decode inverts
     words = np.frombuffer(host_bytes, np.uint16)
-    off = 0
-    for sym, idx in secs:
-        dec, off = tpu_decode_section(words, off, idx, table)
+    dec_secs, used = tpu_decode_stream(words, [idx for _, idx in secs], table)
+    for (sym, _), dec in zip(secs, dec_secs):
         np.testing.assert_array_equal(dec, sym)
-    assert off == len(words)
+    assert used == len(words)
 
-    # device decode inverts the host bytes too
+    # device decode inverts the host bytes too (state threaded)
     cursor = jnp.zeros((1,), jnp.int32)
     base = jnp.zeros((1,), jnp.int32)
+    state = None
     for sym, idx in secs:
-        dec, cursor, _ = decode_section(jnp.asarray(words), base, cursor,
-                                        None, jnp.asarray(idx[None]), dt)
+        dec, cursor, state = decode_section(jnp.asarray(words), base, cursor,
+                                            state, jnp.asarray(idx[None]), dt)
         np.testing.assert_array_equal(np.asarray(dec)[0], sym)
+
+
+def test_chained_stream_rate_overhead_vs_compressai():
+    """At production lane counts the tpu format must be rate-competitive:
+    total tpu-format bytes <= 1.02x the CompressAI-format bytes at lanes=8
+    on realistic low-bpp symbol statistics (Kodak-like 6-slice geometry,
+    most symbols zero under a near-bound sigma). The chained format pays one
+    2L flush per stream; the old per-section flush was a ~5-20% tax here."""
+    from dc_vic_tpu.ops.rans import encode_with_indexes, tpu_encode_sections
+    table = _gaussian_table(scales=(0.11, 0.3, 1.0, 4.0))
+    rng = np.random.default_rng(5)
+    # true Kodak 768x512 ChARM geometry: yH*yW*slice_ch = 48*32*32 symbols
+    # per slice, 6 slices (the fixed flush delta must be judged against
+    # real stream sizes, not toy ones)
+    n_slices, ns = 6, 49152
+    # realistic low-rate stats: sigma near the scale bound almost everywhere
+    idx_full = rng.choice(4, n_slices * ns, p=[0.90, 0.07, 0.02, 0.01])
+    scale = np.asarray([0.11, 0.3, 1.0, 4.0])[idx_full]
+    sym_full = np.round(rng.normal(0, scale)).astype(np.int32)
+    idx_full = idx_full.astype(np.int32)
+
+    L = section_lanes(ns, 8)
+    assert L == 8
+    secs = [(sym_full[s * ns:(s + 1) * ns].reshape(-1, L),
+             idx_full[s * ns:(s + 1) * ns].reshape(-1, L))
+            for s in range(n_slices)]
+    tpu_bytes = len(tpu_encode_sections(secs, table))
+    cai_bytes = len(encode_with_indexes(sym_full, idx_full, table))
+    assert tpu_bytes <= 1.02 * cai_bytes, (
+        f"tpu-format rate overhead too high: {tpu_bytes} vs "
+        f"{cai_bytes} compressai bytes ({tpu_bytes / cai_bytes:.3f}x)")

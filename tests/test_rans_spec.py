@@ -123,6 +123,42 @@ def test_c_coder_matches_python_spec(seed, n, esc_rate):
     np.testing.assert_array_equal(dec, sym)
 
 
+def test_compressai_golden_vectors_if_present():
+    """Byte-level check against TRUE CompressAI outputs. The vectors are
+    produced by running `python scripts/parity_check.py
+    --print_golden_snippet` in any compressai-bearing environment and
+    dropping the resulting compressai_vectors.npz into tests/golden/.
+    Until then this skips — the double-entry PySpecEncoder check above is
+    the in-environment evidence (both implementations could in principle
+    share one spec misreading; this retires that residual risk)."""
+    import os
+
+    import pytest
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "compressai_vectors.npz")
+    if not os.path.exists(path):
+        pytest.skip("no compressai golden vectors vendored "
+                    "(see scripts/parity_check.py --print_golden_snippet)")
+    from dc_vic_tpu.ops.cdf import pmf_to_quantized_cdf
+    from dc_vic_tpu.ops.rans import CdfTable, decode_with_indexes
+    data = np.load(path)
+    t = 0
+    while f"cdf_{t}" in data:
+        np.testing.assert_array_equal(
+            pmf_to_quantized_cdf(data[f"pmf_{t}"]), data[f"cdf_{t}"],
+            err_msg=f"CDF table bytes diverge from compressai (case {t})")
+        cdf = data[f"cdf_{t}"]
+        table = CdfTable(cdf[None], [len(cdf)], [int(data[f"offset_{t}"])])
+        got = encode_with_indexes(data[f"sym_{t}"], data[f"idx_{t}"], table)
+        assert got == data[f"bytes_{t}"].tobytes(), (
+            f"stream bytes diverge from compressai (case {t})")
+        dec = decode_with_indexes(data[f"bytes_{t}"].tobytes(),
+                                  data[f"idx_{t}"], table)
+        np.testing.assert_array_equal(dec, data[f"sym_{t}"])
+        t += 1
+    assert t > 0
+
+
 def test_pmf_to_quantized_cdf_exact_fixtures():
     """Pin the exact integer outputs of pmf_to_quantized_cdf (not just the
     invariants): constants hand-derived by stepping through the published
