@@ -30,15 +30,21 @@ SHAPES = {
 }
 
 
-def bench(fn, args, iters, warmup=3):
+def bench(fn, arg_sets, iters, warmup=3):
+    """Times fn cycling across DISTINCT input buffers: this environment was
+    observed to value-cache identical executions of the same computation
+    (returns in microseconds at impossible TF/s) — see docs/PERF.md §5."""
     import jax
     out = None
-    for _ in range(warmup):
+    for args in arg_sets:
         out = fn(*args)
     jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(*arg_sets[0])
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        out = fn(*arg_sets[i % len(arg_sets)])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -106,23 +112,25 @@ def main():
     rows = []
     names = (list(SHAPES) if args.shapes == "all"
              else args.shapes.split(","))
+    NBUF = 4
     for sname in names:
         B, H, W, C, Cout = SHAPES[sname]
         flops = 2 * B * H * W * 9 * C * Cout
-        x_np = rng.standard_normal((B, H, W, C), np.float32)
+        x_nps = [rng.standard_normal((B, H, W, C), np.float32)
+                 for _ in range(NBUF)]
         w_np = rng.standard_normal((3, 3, C, Cout), np.float32) * 0.05
         ref = None
         for vname, (fn, dt) in variants.items():
-            x = jnp.asarray(x_np, dt)
+            xs = [jnp.asarray(x_np, dt) for x_np in x_nps]
             w = jnp.asarray(w_np, dt)
             jfn = jax.jit(fn)
             try:
-                out = np.asarray(jfn(x, w), np.float32)
+                out = np.asarray(jfn(xs[0], w), np.float32)
                 if ref is None:
                     ref = out
                 err = float(np.max(np.abs(out - ref))
                             / (np.abs(ref).max() + 1e-9))
-                dt_s = bench(jfn, (x, w), args.iters)
+                dt_s = bench(jfn, [(x, w) for x in xs], args.iters)
                 tf = flops / dt_s / 1e12
                 rows.append((sname, vname, dt_s * 1e3, tf, err))
                 print(f"{sname:16s} {vname:12s} {dt_s*1e3:8.2f} ms "

@@ -68,6 +68,12 @@ def main():
     p.add_argument("--eval_step", type=int, default=500)
     p.add_argument("--work", type=str, default="/tmp/soak_r3")
     p.add_argument("--keep_work", action="store_true")
+    p.add_argument("--config", type=str, default=None,
+                   help="override the soak config (default: the committed "
+                        "mid-size docs/artifacts/soak_stage1_1_config.yaml)")
+    p.add_argument("--no_artifacts", action="store_true",
+                   help="skip copying curves into docs/artifacts "
+                        "(plumbing validation runs)")
     args = p.parse_args()
 
     import jax
@@ -87,8 +93,8 @@ def main():
     train_root, eval_root = make_synthetic_dataset(
         os.path.join(args.work, "datasets"))
 
-    cfg_path = os.path.join(repo, "docs", "artifacts",
-                            "soak_stage1_1_config.yaml")
+    cfg_path = args.config or os.path.join(repo, "docs", "artifacts",
+                                           "soak_stage1_1_config.yaml")
     opt = load_config(cfg_path, is_train=True)
     opt["exp"] = "soak_r3"
     opt["ckpt_root"] = os.path.join(args.work, "checkpoint")
@@ -121,12 +127,15 @@ def main():
           f"({js[0]:.4f} -> {js[-1]:.4f}); "
           f"non-increasing steps: {frac:.0%}")
 
-    art = os.path.join(repo, "docs", "artifacts")
-    shutil.copy(paths.eval_csv_path, os.path.join(art, "soak_r3_eval.csv"))
-    shutil.copy(paths.loss_csv_path, os.path.join(art, "soak_r3_loss.csv"))
-    with open(os.path.join(art, "soak_r3_verdict.txt"), "w") as f:
-        f.write(f"J curve: {[round(j, 4) for j in js]}\n"
-                f"improved: {improved}, monotone_frac: {frac:.2f}\n")
+    if not args.no_artifacts:
+        art = os.path.join(repo, "docs", "artifacts")
+        shutil.copy(paths.eval_csv_path,
+                    os.path.join(art, "soak_r3_eval.csv"))
+        shutil.copy(paths.loss_csv_path,
+                    os.path.join(art, "soak_r3_loss.csv"))
+        with open(os.path.join(art, "soak_r3_verdict.txt"), "w") as f:
+            f.write(f"J curve: {[round(j, 4) for j in js]}\n"
+                    f"improved: {improved}, monotone_frac: {frac:.2f}\n")
     if not args.keep_work:
         shutil.rmtree(args.work, ignore_errors=True)
     if not (improved and frac >= 0.7):
