@@ -53,7 +53,7 @@ def _pick_tile_h(H: int, W: int, C: int, Cout: int, dtype) -> int:
 
 
 def _conv_kernel(w_ref, xp_hbm, o_ref, xt, sem, *, tile_h, W, C, Cout,
-                 n_rows):
+                 n_rows, dxcat=False):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -93,14 +93,29 @@ def _conv_kernel(w_ref, xp_hbm, o_ref, xt, sem, *, tile_h, W, C, Cout,
 
     xv = xt[slot]  # value-level: shifted reads lower to vector relayouts
     acc = jnp.zeros((tile_h, W, Cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            xs = jax.lax.slice(xv, (dy, dx, 0), (dy + tile_h, dx + W, C))
+    if dxcat:
+        # 3 matmuls with K=3C instead of 9 with K=C: deeper contractions
+        # amortize MXU pipeline overhead on thin-channel shapes (C=128).
+        # Weights arrive pre-concatenated as [3, 3C, Cout].
+        for dy in range(3):
+            xs = jnp.concatenate(
+                [jax.lax.slice(xv, (dy, dx, 0), (dy + tile_h, dx + W, C))
+                 for dx in range(3)], axis=-1)
             acc = acc + jax.lax.dot_general(
-                xs, w_ref[dy, dx],
+                xs, w_ref[dy],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+    else:
+        for dy in range(3):
+            for dx in range(3):
+                xs = jax.lax.slice(xv, (dy, dx, 0),
+                                   (dy + tile_h, dx + W, C))
+                acc = acc + jax.lax.dot_general(
+                    xs, w_ref[dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -134,13 +149,16 @@ def _conv3x3_vjp_bwd(res, g):
 conv3x3_same.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "dxcat"))
 def _conv3x3_fwd_impl(x: jnp.ndarray, w: jnp.ndarray,
-                      out_dtype=None) -> jnp.ndarray:
+                      out_dtype=None, dxcat: bool = None) -> jnp.ndarray:
     B, H, W, C = x.shape
     Cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, C), w.shape
     out_dtype = out_dtype or x.dtype
+    if dxcat is None:
+        import os
+        dxcat = os.environ.get("DCVIC_CONV3_DXCAT") == "1"
     tile_h = _pick_tile_h(H, W, C, Cout, x.dtype)
     n_rows = H // tile_h
 
@@ -148,9 +166,12 @@ def _conv3x3_fwd_impl(x: jnp.ndarray, w: jnp.ndarray,
     # bf16's (16,128) tile; extra right-pad columns are never read).
     wpad = -(-(W + 2) // 16) * 16
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad - W - 1), (0, 0)))
+    if dxcat:
+        w = w.reshape(3, 3 * C, Cout)  # [dy, dx*C + c, o], dx-major
 
     kernel = functools.partial(
-        _conv_kernel, tile_h=tile_h, W=W, C=C, Cout=Cout, n_rows=n_rows)
+        _conv_kernel, tile_h=tile_h, W=W, C=C, Cout=Cout, n_rows=n_rows,
+        dxcat=dxcat)
 
     flops = 2 * B * H * W * 9 * C * Cout
     bytes_accessed = (xp.size * xp.dtype.itemsize + w.size * w.dtype.itemsize

@@ -238,3 +238,15 @@ def test_pathological_symbols_clip_consistently(codec):
     res = codec.compress(img, quality_ind=0, debug=True)
     assert codec.verify_roundtrip(res, [r["string_list"] for r in res],
                                   (64, 64))
+
+
+def test_bench_device_cycle_api(built):
+    """bench.py's link-weather-immune decomposition helper: runs the pure
+    device graphs and returns positive per-batch times (the driver's
+    recorded JSON depends on this API staying alive)."""
+    spec, params = built
+    c = Codec(spec, params, stream_format="tpu")
+    imgs = np.random.default_rng(7).integers(
+        0, 256, (2, 96, 80, 3), dtype=np.uint8)
+    out = c.bench_device_cycle(imgs, beta_rate=1.0, beta_vq=1.0, iters=1)
+    assert out["enc_s"] > 0 and out["dec_s"] > 0
