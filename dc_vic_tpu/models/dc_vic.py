@@ -391,7 +391,10 @@ class DCVICModel(nn.Module):
             self.hyperencoder(y).astype(jnp.float32))
         z_sym = self.entropy_z.quantize_symbols(z)
         z_hat = self.entropy_z.dequantize(z_sym)
-        hyper_out = self.hyperdecoder(z_hat)
+        # Pinned: the decode graph recomputes hyper_out from the same z_hat
+        # (hyper_decode) and the two must agree bitwise — the barrier keeps
+        # the hyperdecoder an isolated subgraph in both executables.
+        hyper_out = jax.lax.optimization_barrier(self.hyperdecoder(z_hat))
 
         if self.use_charm:
             y_sym, sigma, y_hat, y_lik = self.context_model.compress_forward(
@@ -443,7 +446,8 @@ class DCVICModel(nn.Module):
     def hyper_decode(self, z_symbols):
         """z symbols -> hyper_out (decode side, jittable)."""
         z_hat = self.entropy_z.dequantize(z_symbols.astype(jnp.int32))
-        return self.hyperdecoder(z_hat), z_hat
+        # Pinned to match the encode side bitwise (see encode_deterministic).
+        return jax.lax.optimization_barrier(self.hyperdecoder(z_hat)), z_hat
 
     def charm_slice_params(self, slice_ind: int, hyper_out, y_hat_prev):
         """Decode-side: (mu, cdf indexes) for one slice."""

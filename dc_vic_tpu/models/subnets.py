@@ -644,14 +644,28 @@ class Minnen20CharmContextModel(nn.Module):
         sup = self._supports(y_hat_slices)
         mean_support = jnp.concatenate([hyper_mean] + sup, axis=-1)
         scale_support = jnp.concatenate([hyper_scale] + sup, axis=-1)
+        # Cross-graph determinism: mu/sigma feed symbolization on the encode
+        # side and cdf-index prediction on the decode side — the two graphs
+        # must produce BITWISE identical values or the rANS stream desyncs.
+        # The barriers pin the slice transforms as an isolated subgraph so
+        # XLA cannot fuse them with graph-specific surroundings (fusion
+        # context differs between the encode and decode executables and has
+        # been observed to flip borderline f32 values; see PERF.md §8 for
+        # the first instance of this failure class).
+        mean_support = jax.lax.optimization_barrier(mean_support)
+        scale_support = jax.lax.optimization_barrier(scale_support)
         mu = self.mean_transforms[i](mean_support)
         sigma = self.scale_transforms[i](scale_support)
+        mu, sigma = jax.lax.optimization_barrier((mu, sigma))
         return mu, sigma, mean_support
 
     def _lrp(self, i: int, mean_support, y_hat_slice):
-        lrp = self.lrp_transforms[i](
-            jnp.concatenate([mean_support, y_hat_slice], axis=-1))
-        return y_hat_slice + 0.5 * jnp.tanh(lrp)
+        # Also entropy-critical: LRP shapes y_hat_prev, which feeds the next
+        # slice's mu/sigma on both coder sides — pin it the same way.
+        lrp = self.lrp_transforms[i](jax.lax.optimization_barrier(
+            jnp.concatenate([mean_support, y_hat_slice], axis=-1)))
+        return y_hat_slice + 0.5 * jnp.tanh(
+            jax.lax.optimization_barrier(lrp))
 
     def __call__(self, y, hyper_out, is_train: bool,
                  rng: Optional[jax.Array] = None,
