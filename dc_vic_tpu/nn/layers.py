@@ -32,14 +32,18 @@ def conv_pad(k: int) -> Sequence[Tuple[int, int]]:
 
 
 def _use_pallas_conv3(x, features: int) -> bool:
-    """Route qualifying 3x3 convs through the Pallas kernel: TPU backend,
-    wide channels (>=128 both sides, where the kernel beats XLA's lowering —
-    see scripts/conv_microbench.py / docs/PERF.md), big enough spatial plane
-    to amortize the per-call grid setup. Overridable via DCVIC_PALLAS_CONV
-    (0 forces XLA, 1 forces on wherever shapes qualify)."""
+    """Gate for routing 3x3 convs through the Pallas kernel (ops/conv3x3.py).
+
+    OFF by default: the kernel beats XLA's conv lowering standalone
+    (105-133 vs 72-87 TF/s on the hot shapes, scripts/conv_microbench.py),
+    but the full-codec A/B on the real chip measured device-only throughput
+    of 8.2 img/s with the dispatch ON vs 10.1 img/s OFF — XLA fuses the
+    surrounding GroupNorm/swish/residual elementwise work into its conv
+    epilogues, and losing that fusion costs more than the raw kernel win
+    (docs/PERF.md section 5). Set DCVIC_PALLAS_CONV=1 to enable on
+    qualifying shapes (TPU, lane-aligned >=128 channels, big planes)."""
     import os
-    env = os.environ.get("DCVIC_PALLAS_CONV")
-    if env == "0":
+    if os.environ.get("DCVIC_PALLAS_CONV") != "1":
         return False
     import jax
     if jax.default_backend() != "tpu":
@@ -81,9 +85,10 @@ class PallasConv3(nn.Module):
 class Conv(nn.Module):
     """3x3/5x5/1x1 conv with torch-style symmetric padding (NHWC).
 
-    3x3 stride-1 convs on wide-channel planes dispatch to the Pallas direct
-    kernel on TPU (measured well above XLA's conv lowering on the hot
-    reconstruction shapes; bit-identical parameter tree either way)."""
+    With DCVIC_PALLAS_CONV=1, 3x3 stride-1 convs on wide-channel planes
+    dispatch to the Pallas direct kernel on TPU (bit-identical parameter
+    tree either way). Default is XLA's lowering — faster in-graph, see
+    _use_pallas_conv3."""
     features: int
     kernel: int = 3
     stride: int = 1
