@@ -26,6 +26,69 @@ def swish(x):
     return x * nn.sigmoid(x)
 
 
+class _GNParams(nn.Module):
+    """Declares GroupNorm's parameters without computing — used by the fused
+    ResnetBlock path so its tree matches nn.GroupNorm's exactly."""
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.ch,)),
+                self.param("bias", nn.initializers.zeros, (self.ch,)))
+
+
+class _RawConvParams(nn.Module):
+    @nn.compact
+    def __call__(self, cin, cout, k):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (k, k, cin, cout)),
+                self.param("bias", nn.initializers.zeros, (cout,)))
+
+
+class _ConvParams(nn.Module):
+    """Declares layers.Conv's parameter tree (child nn.Conv auto-named
+    Conv_0) without computing — fused-path checkpoint parity."""
+    cin: int
+    cout: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return _RawConvParams(name="Conv_0")(self.cin, self.cout, self.k)
+
+
+def _gn_fold(x, gamma, beta, groups: int, eps: float = 1e-6):
+    """Fold GroupNorm stats + gamma/beta into one per-(batch, channel)
+    affine: GN(x) * gamma + beta == x * scale[b] + bias[b]."""
+    B, H, W, C = x.shape
+    xg = x.astype(jnp.float32).reshape(B, H * W, groups, C // groups)
+    mean = jnp.mean(xg, axis=(1, 3))
+    var = jnp.mean(jnp.square(xg - mean[:, None, :, None]), axis=(1, 3))
+    inv = jax.lax.rsqrt(var + eps)
+    rep = lambda a: jnp.repeat(a, C // groups, axis=1)        # [B,G]->[B,C]
+    scale = gamma.astype(jnp.float32)[None, :] * rep(inv)
+    bias = beta.astype(jnp.float32)[None, :] - rep(mean) * scale
+    return scale, bias
+
+
+def _use_fused_resblock(x, out_ch: int) -> bool:
+    """Gate for the fused GN+swish+conv3x3(+res) Pallas path: opt-in via
+    DCVIC_FUSED_RESBLOCK=1, TPU only, lane-aligned wide channels and a big
+    spatial plane (same qualification logic as _use_pallas_conv3; this
+    variant keeps XLA's epilogue-fusion advantage INSIDE the kernel —
+    docs/PERF.md section 5)."""
+    import os
+    if os.environ.get("DCVIC_FUSED_RESBLOCK") != "1":
+        return False
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return False
+    B, H, W, C = x.shape
+    return (C % 128 == 0 and out_ch % 128 == 0 and C % 32 == 0
+            and H % 2 == 0 and W % 2 == 0 and H * W >= 12288
+            and B * H * W >= 16384)
+
+
 class VQResnetBlock(nn.Module):
     """GroupNorm -> swish -> conv, twice, with 1x1 shortcut on channel change."""
     out_ch: int
@@ -34,6 +97,8 @@ class VQResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
+        if _use_fused_resblock(x, self.out_ch):
+            return self._fused(x, in_ch)
         h = nn.GroupNorm(num_groups=num_groups32(in_ch), epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = swish(h)
         h = Conv(self.out_ch, 3, dtype=self.dtype, name="conv1")(h)
@@ -43,6 +108,25 @@ class VQResnetBlock(nn.Module):
         if in_ch != self.out_ch:
             x = Conv(self.out_ch, 1, dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
+
+    def _fused(self, x, in_ch: int):
+        """Same computation via ops/conv3x3.py::conv3x3_gn_swish — the GN
+        affine, swish, conv bias, and residual add all run inside the conv
+        kernel; only the GN stat reductions stay in XLA. Identical parameter
+        tree to the unfused path (checkpoints interchange)."""
+        from ..ops.conv3x3 import conv3x3_gn_swish
+        g1, b1 = _GNParams(in_ch, name="norm1")()
+        k1, cb1 = _ConvParams(in_ch, self.out_ch, 3, name="conv1")()
+        g2, b2 = _GNParams(self.out_ch, name="norm2")()
+        k2, cb2 = _ConvParams(self.out_ch, self.out_ch, 3, name="conv2")()
+        dt = self.dtype or x.dtype
+        xc = x.astype(dt)
+        s1, o1 = _gn_fold(xc, g1, b1, num_groups32(in_ch))
+        h = conv3x3_gn_swish(xc, k1.astype(dt), s1, o1, cb1, None)
+        s2, o2 = _gn_fold(h, g2, b2, num_groups32(self.out_ch))
+        res = (Conv(self.out_ch, 1, dtype=self.dtype, name="nin_shortcut")(xc)
+               if in_ch != self.out_ch else xc)
+        return conv3x3_gn_swish(h, k2.astype(dt), s2, o2, cb2, res)
 
 
 class VQAttnBlock(nn.Module):

@@ -32,10 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile_h(H: int, W: int, C: int, Cout: int, dtype) -> int:
+def _pick_tile_h(H: int, W: int, C: int, Cout: int, dtype,
+                 n_side_blocks: int = 0) -> int:
     """Largest row-tile that divides H and fits ALL resident VMEM buffers:
-    double-buffered input tile, f32 accumulator, whole weights, and the
-    double-buffered pipelined output block."""
+    double-buffered input tile, f32 accumulator, whole weights, the
+    double-buffered pipelined output block, and n_side_blocks extra
+    pipelined per-tile inputs (e.g. the fused residual)."""
     bpe = jnp.dtype(dtype).itemsize
     budget = 11 * 1024 * 1024  # of 16 MB/core; headroom for Mosaic spills
     weights = 9 * C * Cout * bpe
@@ -45,7 +47,7 @@ def _pick_tile_h(H: int, W: int, C: int, Cout: int, dtype) -> int:
             continue
         scratch = 2 * (t + 2) * (W + 2) * C * bpe      # double-buffered tile
         acc = t * W * Cout * 4                          # f32 accumulator
-        out = 2 * t * W * Cout * bpe                    # pipelined out block
+        out = 2 * t * W * Cout * bpe * (1 + n_side_blocks)
         if weights + scratch + acc + out <= budget:
             best = t
             break
@@ -196,3 +198,173 @@ def _conv3x3_fwd_impl(x: jnp.ndarray, w: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
     )(w, xp)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm-affine + swish + conv3x3 + bias + residual
+#
+# Round 3's in-graph A/B showed the plain Pallas conv LOSES to XLA despite a
+# 1.33-1.66x standalone win: each pallas_call is a fusion barrier, and XLA
+# folds the surrounding GroupNorm/swish/residual elementwise chains into its
+# conv epilogues (docs/PERF.md section 5). This variant moves those chains
+# INSIDE the kernel: the tile is read raw from HBM, the per-(batch, channel)
+# GN affine (stats folded on the XLA side into scale/bias) and swish run in
+# VMEM as the matmul prologue, and conv bias + residual add run as the
+# epilogue — so the kernel keeps the MXU win without giving XLA any unfused
+# elementwise passes over the big plane.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(w_ref, scale_ref, bias_ref, cb_ref, xp_hbm, res_ref, o_ref,
+                  xt, sem, *, tile_h, H, W, C, Cout, n_rows, has_res,
+                  compute_dtype):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def tile_dma(slot, bb, ii):
+        return pltpu.make_async_copy(
+            xp_hbm.at[bb, pl.ds(ii * tile_h, tile_h + 2)],
+            xt.at[slot],
+            sem.at[slot],
+        )
+
+    g = b * n_rows + i
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    @pl.when((b == 0) & (i == 0))
+    def _():
+        tile_dma(slot, b, i).start()
+
+    nb = jax.lax.select(i + 1 < n_rows, b, b + 1)
+    ni = jax.lax.select(i + 1 < n_rows, i + 1, 0)
+
+    @pl.when(nb < pl.num_programs(0))
+    def _():
+        tile_dma(nslot, nb, ni).start()
+
+    tile_dma(slot, b, i).wait()
+
+    th, wpad = tile_h + 2, xt.shape[2]
+    # prologue: per-(batch, channel) affine (folded GN stats) + swish, f32
+    xv = xt[slot].astype(jnp.float32)
+    xv = xv * scale_ref[b] + bias_ref[b]
+    xv = xv * jax.nn.sigmoid(xv)
+    # SAME-conv zero padding lives in the NORMALIZED space: the affine+swish
+    # turned the halo zeros into swish(bias) != 0, so re-zero every position
+    # outside the [0, H) x [0, W) image (top/bottom halo rows of the edge
+    # tiles, the left/right halo columns, and the alignment pad columns).
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, wpad, 1), 0) \
+        + i * tile_h - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, wpad, 1), 1) - 1
+    valid = (row >= 0) & (row < H) & (col >= 0) & (col < W)
+    xv = jnp.where(valid, xv, 0.0).astype(compute_dtype)
+
+    acc = jnp.zeros((tile_h, W, Cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.slice(xv, (dy, dx, 0), (dy + tile_h, dx + W, C))
+            acc = acc + jax.lax.dot_general(
+                xs, w_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc + cb_ref[0]
+    if has_res:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _xla_fused_ref(x, w, scale, bias, cbias, res):
+    """XLA reference of the fused composite (used for the backward pass and
+    as the CPU/non-qualifying fallback)."""
+    h = x.astype(jnp.float32) * scale[:, None, None, :] \
+        + bias[:, None, None, :]
+    h = (h * jax.nn.sigmoid(h)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        h, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + cbias.astype(jnp.float32)
+    if res is not None:
+        y = y + res.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conv3x3_gn_swish(x, w, scale, bias, cbias, res):
+    """Fused y = conv3x3_same(swish(x * scale[b] + bias[b]), w) + cbias
+    (+ res). x [B,H,W,C]; w [3,3,C,Cout] HWIO; scale/bias [B,C] f32 (GN
+    stats and gamma/beta folded per batch element); cbias [Cout]; res
+    [B,H,W,Cout] or None. Backward delegates to XLA's gradients of the same
+    composite (the codec decode paths never differentiate)."""
+    return _fused_fwd_impl(x, w, scale, bias, cbias, res)
+
+
+def _fused_vjp_fwd(x, w, scale, bias, cbias, res):
+    return _fused_fwd_impl(x, w, scale, bias, cbias, res), \
+        (x, w, scale, bias, cbias, res)
+
+
+def _fused_vjp_bwd(saved, g):
+    x, w, scale, bias, cbias, res = saved
+    if res is None:
+        out, vjp = jax.vjp(
+            lambda *a: _xla_fused_ref(*a, None), x, w, scale, bias, cbias)
+        return vjp(g.astype(x.dtype)) + (None,)
+    _, vjp = jax.vjp(_xla_fused_ref, x, w, scale, bias, cbias, res)
+    return vjp(g.astype(x.dtype))
+
+
+conv3x3_gn_swish.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def _fused_fwd_impl(x, w, scale, bias, cbias, res):
+    B, H, W, C = x.shape
+    Cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, C), w.shape
+    assert scale.shape == (B, C) and bias.shape == (B, C)
+    has_res = res is not None
+    tile_h = _pick_tile_h(H, W, C, Cout, x.dtype,
+                          n_side_blocks=1 if has_res else 0)
+    n_rows = H // tile_h
+
+    wpad = -(-(W + 2) // 16) * 16
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad - W - 1), (0, 0)))
+    scale = scale.astype(jnp.float32)
+    bias = bias.astype(jnp.float32)
+    cbias = cbias.astype(jnp.float32).reshape(1, Cout)
+
+    kernel = functools.partial(
+        _fused_kernel, tile_h=tile_h, H=H, W=W, C=C, Cout=Cout,
+        n_rows=n_rows, has_res=has_res, compute_dtype=x.dtype)
+
+    flops = 2 * B * H * W * 9 * C * Cout
+    bytes_accessed = (xp.size * xp.dtype.itemsize
+                      + w.size * w.dtype.itemsize
+                      + B * H * W * Cout * x.dtype.itemsize
+                      * (2 if has_res else 1))
+    block = pl.BlockSpec((1, tile_h, W, Cout), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    res_spec = block if has_res else pl.BlockSpec(memory_space=pltpu.VMEM)
+    res_arg = res if has_res else jnp.zeros((1, 1), x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale [B, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [B, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # conv bias [1, Cout]
+            pl.BlockSpec(memory_space=pltpu.ANY),    # padded input, HBM
+            res_spec,                                 # residual (pipelined)
+        ],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, wpad, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed,
+            transcendentals=B * H * W * C),
+    )(w, scale, bias, cbias, xp, res_arg)

@@ -49,10 +49,61 @@ def bench(fn, arg_sets, iters, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_resblock(args, jax, jnp):
+    """Composite A/B at the hot shapes: the full GN->swish->conv x2 (+res)
+    ResnetBlock via (a) the plain XLA lowering (its epilogue fusion intact)
+    vs (b) the fused Pallas path (ops/conv3x3.py::conv3x3_gn_swish). This is
+    the honest unit: round 3 measured the UNfused Pallas conv losing
+    in-graph despite a 1.33-1.66x standalone win (PERF.md section 5)."""
+    from dc_vic_tpu.models import vqgan
+
+    rng = np.random.default_rng(0)
+    names = (list(SHAPES) if args.shapes == "all"
+             else args.shapes.split(","))
+    NBUF = 4
+    print("\n== resblock composite (GN+swish+conv x2 + res) ==")
+    rows = []
+    for sname in names:
+        B, H, W, C, Cout = SHAPES[sname]
+        flops = 2 * 2 * B * H * W * 9 * C * Cout  # two 3x3 convs
+        block = vqgan.VQResnetBlock(out_ch=Cout, dtype=jnp.bfloat16)
+        x0 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+        params = jax.jit(block.init)(jax.random.PRNGKey(0), x0)
+        xs = [jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+              for _ in range(NBUF)]
+        ref = None
+        for vname, fused in (("xla_bf16", False), ("fused_bf16", True)):
+            os.environ["DCVIC_FUSED_RESBLOCK"] = "1" if fused else "0"
+            try:
+                jfn = jax.jit(lambda p, x: block.apply(p, x)).lower(
+                    params, xs[0]).compile()
+                out = np.asarray(jfn(params, xs[0]), np.float32)
+                if ref is None:
+                    ref = out
+                err = float(np.max(np.abs(out - ref))
+                            / (np.abs(ref).max() + 1e-9))
+                dt_s = bench(lambda x: jfn(params, x),
+                             [(x,) for x in xs], args.iters)
+                tf = flops / dt_s / 1e12
+                rows.append((sname, vname, dt_s * 1e3, tf, err))
+                print(f"{sname:16s} {vname:12s} {dt_s*1e3:8.2f} ms "
+                      f"{tf:7.1f} TF/s  relerr={err:.2e}", flush=True)
+            except Exception as e:  # noqa: BLE001 - report and continue
+                print(f"{sname:16s} {vname:12s} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+        os.environ.pop("DCVIC_FUSED_RESBLOCK", None)
+    print("\n| shape | variant | ms | TF/s(conv) | rel err |")
+    print("|---|---|---|---|---|")
+    for sname, vname, ms, tf, err in rows:
+        print(f"| {sname} | {vname} | {ms:.2f} | {tf:.1f} | {err:.1e} |")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--shapes", type=str, default="all")
+    p.add_argument("--mode", type=str, default="conv",
+                   choices=["conv", "resblock"])
     args = p.parse_args()
 
     import jax
@@ -61,6 +112,10 @@ def main():
                                      "/tmp/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+
+    if args.mode == "resblock":
+        bench_resblock(args, jax, jnp)
+        return
 
     from dc_vic_tpu.ops.conv3x3 import conv3x3_same
 

@@ -66,6 +66,61 @@ def test_dispatch_gate():
     assert not _use_pallas_conv3(x, 512)
 
 
+@pytest.mark.parametrize("with_res", [False, True])
+def test_fused_gn_swish_conv_matches_ref(interpret_pallas, with_res):
+    """conv3x3_gn_swish == swish(x*scale+bias) -> conv -> +cbias (+res),
+    including the halo re-zeroing (the affine makes pad positions nonzero;
+    the kernel must restore SAME-conv zero-pad semantics)."""
+    from dc_vic_tpu.ops.conv3x3 import _xla_fused_ref, conv3x3_gn_swish
+    rng = np.random.default_rng(2)
+    B, H, W, C, Cout = 2, 8, 24, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, Cout)) * 0.05, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, (B, C)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+    cbias = jnp.asarray(rng.standard_normal((Cout,)), jnp.float32)
+    res = (jnp.asarray(rng.standard_normal((B, H, W, Cout)), jnp.float32)
+           if with_res else None)
+    out = conv3x3_gn_swish(x, w, scale, bias, cbias, res)
+    ref = _xla_fused_ref(x, w, scale, bias, cbias, res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_gn_swish_conv_grad(interpret_pallas):
+    from dc_vic_tpu.ops.conv3x3 import _xla_fused_ref, conv3x3_gn_swish
+    rng = np.random.default_rng(3)
+    B, H, W, C = 1, 8, 16, 128
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.05, jnp.float32)
+    scale = jnp.ones((B, C), jnp.float32)
+    bias = jnp.zeros((B, C), jnp.float32)
+    cbias = jnp.zeros((C,), jnp.float32)
+    loss = lambda f: lambda x, w: jnp.sum(f(x, w, scale, bias, cbias, None) ** 2)
+    gp = jax.grad(loss(conv3x3_gn_swish), argnums=(0, 1))(x, w)
+    gr = jax.grad(loss(_xla_fused_ref), argnums=(0, 1))(x, w)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("out_ch", [128, 256])
+def test_fused_resblock_matches_unfused(interpret_pallas, monkeypatch,
+                                        out_ch):
+    """The fused VQResnetBlock path computes the same function as the
+    unfused one with the SAME parameter tree (checkpoints interchange)."""
+    from dc_vic_tpu.models import vqgan
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 24, 128)) * 0.7, jnp.float32)
+    block = vqgan.VQResnetBlock(out_ch=out_ch)
+    params = block.init(jax.random.PRNGKey(0), x)
+    ref = block.apply(params, x)
+    monkeypatch.setattr(vqgan, "_use_fused_resblock", lambda *a: True)
+    out = block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_dispatch_param_tree_identical():
     """PallasConv3 and nn.Conv produce the same parameter tree, so a
     checkpoint initialized on CPU (XLA path) loads on TPU (Pallas path)."""
