@@ -33,11 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tile_h(H: int, W: int, C: int, Cout: int, dtype,
-                 n_side_blocks: int = 0) -> int:
+                 n_side_blocks: int = 0, f32_prologue: bool = False) -> int:
     """Largest row-tile that divides H and fits ALL resident VMEM buffers:
     double-buffered input tile, f32 accumulator, whole weights, the
-    double-buffered pipelined output block, and n_side_blocks extra
-    pipelined per-tile inputs (e.g. the fused residual)."""
+    double-buffered pipelined output block, n_side_blocks extra pipelined
+    per-tile inputs (e.g. the fused residual), and - for the fused variant -
+    the f32 affine+swish intermediate over the haloed tile."""
     bpe = jnp.dtype(dtype).itemsize
     budget = 11 * 1024 * 1024  # of 16 MB/core; headroom for Mosaic spills
     weights = 9 * C * Cout * bpe
@@ -48,7 +49,8 @@ def _pick_tile_h(H: int, W: int, C: int, Cout: int, dtype,
         scratch = 2 * (t + 2) * (W + 2) * C * bpe      # double-buffered tile
         acc = t * W * Cout * 4                          # f32 accumulator
         out = 2 * t * W * Cout * bpe * (1 + n_side_blocks)
-        if weights + scratch + acc + out <= budget:
+        pro = (t + 2) * (W + 2) * C * (4 + bpe) if f32_prologue else 0
+        if weights + scratch + acc + out + pro <= budget:
             best = t
             break
     return best
@@ -325,7 +327,8 @@ def _fused_fwd_impl(x, w, scale, bias, cbias, res):
     assert scale.shape == (B, C) and bias.shape == (B, C)
     has_res = res is not None
     tile_h = _pick_tile_h(H, W, C, Cout, x.dtype,
-                          n_side_blocks=1 if has_res else 0)
+                          n_side_blocks=1 if has_res else 0,
+                          f32_prologue=True)
     n_rows = H // tile_h
 
     wpad = -(-(W + 2) // 16) * 16
