@@ -16,11 +16,15 @@ class HeaderHandler:
 
     @staticmethod
     def encode(img_size: Tuple[int, int], max_abs_y: int, quality_ind: int,
-               tpu_format: bool = False, lanes: int = 128) -> bytes:
+               tpu_format: bool = False, lanes: int = 128,
+               esc_dense: bool = False) -> bytes:
         """quality byte bit 7 marks the device-coded 'tpu' stream format
         (ops/rans_device.py); bits 0-6 are the quality index. For the tpu
-        format the third byte carries log2 of the interleave-lane cap (the
-        reference writes max|y_hat| there and never reads it back,
+        format the third byte carries log2 of the interleave-lane cap in
+        bits 0-6 and, in bit 7, the dense-escape flag: set when some section
+        has more escapes than ops/rans_device.esc_cap() so the decoder must
+        use the dense (uncapped) escape epilogue. (The reference writes
+        max|y_hat| in this byte and never reads it back,
         src/utils/codec_utils.py)."""
         H, W = img_size
         if not 0 <= int(quality_ind) < 128:
@@ -28,8 +32,8 @@ class HeaderHandler:
                 f"quality_ind {quality_ind} out of range [0, 128): bit 7 of "
                 "the quality byte is the stream-format flag")
         qb = int(quality_ind) | (0x80 if tpu_format else 0)
-        b3 = (int(lanes).bit_length() - 1 if tpu_format
-              else min(255, max(0, int(max_abs_y))))
+        b3 = ((int(lanes).bit_length() - 1) | (0x80 if esc_dense else 0)
+              if tpu_format else min(255, max(0, int(max_abs_y))))
         return struct.pack("<HHBB", H, W, b3, qb)
 
     @staticmethod
@@ -38,7 +42,8 @@ class HeaderHandler:
         tpu = bool(qb & 0x80)
         return {"img_size": (H, W),
                 "max_sample": None if tpu else b3,
-                "lanes": (1 << b3) if tpu else None,
+                "lanes": (1 << (b3 & 0x7F)) if tpu else None,
+                "esc_dense": bool(b3 & 0x80) if tpu else None,
                 "quality_ind": qb & 0x7F,
                 "stream_format": "tpu" if tpu else "compressai"}
 

@@ -249,16 +249,40 @@ class Codec:
         packed_z, z_counts = pack_streams(v, m)
         return packed_y, y_counts, packed_z, z_counts
 
+    def _esc_max(self, sym, idx, table: DeviceCdfTable, n_sections: int):
+        """Traced: per-image max per-section escape count for symbol plane
+        sym/idx [B, H, W, C] with C split into n_sections channel ranges
+        (the y stream's ChARM slices; 1 for z). The decoder compares it to
+        ops/rans_device.esc_cap() to pick the sparse or dense escape
+        epilogue (container header dense-escape flag)."""
+        B, H, W, C = sym.shape
+        off = jnp.take(table.offsets, idx, mode="clip")
+        maxv = jnp.take(table.maxv, idx, mode="clip")
+        value = sym - off
+        esc = (value < 0) | (value >= maxv)
+        per_sec = jnp.sum(esc.reshape(B, H, W, n_sections, C // n_sections),
+                          axis=(1, 2, 4), dtype=jnp.int32)
+        return jnp.max(per_sec, axis=1)  # [B]
+
     def _tpu_finish_encode(self, out, include_latents):
+        y_sym = out["y_symbols"].astype(jnp.int32)
+        y_idx = out["y_indexes"].astype(jnp.int32)
+        z_sym = out["z_symbols"].astype(jnp.int32)
         packed_y, y_counts, packed_z, z_counts = self._tpu_pack(
-            out["y_symbols"].astype(jnp.int32),
-            out["y_indexes"].astype(jnp.int32),
-            out["z_symbols"].astype(jnp.int32))
+            y_sym, y_idx, z_sym)
+        Cz = z_sym.shape[-1]
+        z_idx = jnp.broadcast_to(jnp.arange(Cz, dtype=jnp.int32),
+                                 z_sym.shape)
+        y_escmax = self._esc_max(y_sym, y_idx, self._dtable("y"),
+                                 len(self._tpu_y_sections(y_sym.shape[-1])))
+        z_escmax = self._esc_max(z_sym, z_idx, self._dtable("z"), 1)
         # one fused stats buffer (single small d2h): bit estimates + word
         # counts. A raw f32 count is only exact below 2^24 words (~32 MB/
         # image) and nothing bounds stream size for adversarial inputs, so
         # each int32 count travels as two exactly-representable f32 halves
         # (hi = count >> 12, lo = count & 0xFFF) — exact below 2^36 words.
+        # (Escape counts are bounded by section symbol counts < 2^24, so a
+        # single f32 each is exact.)
         def f32_split(c):
             c = c.astype(jnp.int32)
             return jnp.concatenate([(c >> 12).astype(jnp.float32),
@@ -266,7 +290,8 @@ class Codec:
         stats = jnp.concatenate([
             out["y_bits"], out["z_bits"],
             out["max_abs_y"][None], out["max_abs_sym"][None],
-            f32_split(y_counts), f32_split(z_counts)])
+            f32_split(y_counts), f32_split(z_counts),
+            y_escmax.astype(jnp.float32), z_escmax.astype(jnp.float32)])
         res = dict(stats=stats, packed_y=packed_y, packed_z=packed_z)
         if include_latents:
             res.update(y_hat=out["y_hat"], z_hat=out["z_hat"])
@@ -291,12 +316,16 @@ class Codec:
         return jax.jit(f)
 
     def _decode_tpu_fn(self, B, zH, zW, yH, yW, recon: bool,
-                       include_latents: bool, lanes: int):
+                       include_latents: bool, lanes: int,
+                       sparse_esc: bool = True):
         """The whole decompress as ONE device graph: z entropy decode ->
         hyperdecoder -> (autoregressive ChARM slice chain with in-graph
         entropy decode | gaussian decode) -> optional reconstruction.
         Zero host round trips inside the slice chain (the reference pays a
-        CPU<->GPU sync per slice, minnen20_charm_context_model.py:179-203)."""
+        CPU<->GPU sync per slice, minnen20_charm_context_model.py:179-203).
+        sparse_esc selects the capped escape epilogue (default; exact for
+        streams without the header's dense-escape flag — the encoder sets
+        the flag whenever a section exceeds ops/rans_device.esc_cap)."""
         Cz = self.module.bottleneck_z
         Cy = self.module.bottleneck_y
 
@@ -308,7 +337,7 @@ class Codec:
                 (B, zH, zW, Cz)).reshape(B, -1, Lz)
             z_sym, z_cursor, _ = decode_section(
                 z_words, z_base, jnp.zeros((B,), jnp.int32), None, z_idx,
-                self._dtable("z"))
+                self._dtable("z"), sparse_esc=sparse_esc)
             hyper_out, z_hat = self.module.apply(
                 params, z_sym.reshape(B, zH, zW, Cz),
                 method=self.module.hyper_decode)
@@ -326,7 +355,7 @@ class Codec:
                     sym, cursor, lane_state = decode_section(
                         y_words, y_base, cursor, lane_state,
                         idx.astype(jnp.int32).reshape(B, -1, L),
-                        self._dtable("y"))
+                        self._dtable("y"), sparse_esc=sparse_esc)
                     y_slice = self.module.apply(
                         params, i, hyper_out, y_prev,
                         sym.reshape(B, yH, yW, sc), mu,
@@ -341,7 +370,7 @@ class Codec:
                 sym, cursor, _ = decode_section(
                     y_words, y_base, cursor, None,
                     idx.astype(jnp.int32).reshape(B, -1, L),
-                    self._dtable("y"))
+                    self._dtable("y"), sparse_esc=sparse_esc)
                 y_hat = (sym.reshape(B, yH, yW, Cy).astype(means.dtype)
                          + means)
 
@@ -535,9 +564,10 @@ class Codec:
             z_futs = [self._pool.submit(
                 tpu_encode_sections,
                 [(z_sym[b].reshape(-1, Lz), z_idx1.reshape(-1, Lz))],
-                self.z_table) for b in range(B)]
+                self.z_table, True) for b in range(B)]
             y_futs = [self._pool.submit(tpu_encode_sections, y_sections(b),
-                                        self.y_table) for b in range(B)]
+                                        self.y_table, True)
+                      for b in range(B)]
         else:
             z_futs = [self._pool.submit(
                 encode_with_indexes, z_sym[b].reshape(-1), z_idx1,
@@ -547,11 +577,19 @@ class Codec:
                 y_idx[b].reshape(-1), self.y_table) for b in range(B)]
         results = []
         for b in range(B):
-            z_str = z_futs[b].result()
-            y_str = y_futs[b].result()
+            if tpu_host:
+                z_str, z_esc = z_futs[b].result()
+                y_str, y_esc = y_futs[b].result()
+                esc_dense = bool(self._esc_dense_flags(
+                    handle, np.array([y_esc]), np.array([z_esc]))[0])
+            else:
+                z_str = z_futs[b].result()
+                y_str = y_futs[b].result()
+                esc_dense = False
             header = HeaderHandler.encode((H, W), max_abs_y, quality_ind,
                                           tpu_format=tpu_host,
-                                          lanes=self.lanes)
+                                          lanes=self.lanes,
+                                          esc_dense=esc_dense)
             r = dict(
                 string_list=[header, z_str, y_str],
                 pred_y_bpp=float(y_bits[b]) / num_pixel,
@@ -563,6 +601,23 @@ class Codec:
                 r["z_hat"] = np.asarray(out["z_hat"][b])
             results.append(r)
         return results
+
+    def _esc_dense_flags(self, handle: Dict, y_escmax, z_escmax):
+        """Per-image dense-escape header flags: True when some section's
+        escape count exceeds the sparse decode epilogue's static capacity
+        (ops/rans_device.esc_cap), so the decoder must build the dense
+        (uncapped) variant of the decode graph for this stream."""
+        from ..ops.rans_device import esc_cap
+        H, W = handle["H"], handle["W"]
+        padH = -(-H // self.model_stride) * self.model_stride
+        padW = -(-W // self.model_stride) * self.model_stride
+        yH, yW = padH // self.y_stride, padW // self.y_stride
+        zH, zW = padH // self.model_stride, padW // self.model_stride
+        Cy, Cz = self.module.bottleneck_y, self.module.bottleneck_z
+        lo, hi = self._tpu_y_sections(Cy)[0]  # all sections equal-sized
+        ny, nz = yH * yW * (hi - lo), zH * zW * Cz
+        return ((np.asarray(y_escmax) > esc_cap(ny))
+                | (np.asarray(z_escmax) > esc_cap(nz)))
 
     def _finalize_tpu(self, handle: Dict) -> List[Dict]:
         """Fetch the device-coded streams: one small stats read, then the
@@ -578,6 +633,9 @@ class Codec:
             return (seg[:B].astype(np.int64) << 12) | seg[B:].astype(np.int64)
         y_counts = f32_join(stats[2 * B + 2: 2 * B + 2 + 2 * B])
         z_counts = f32_join(stats[2 * B + 2 + 2 * B: 2 * B + 2 + 4 * B])
+        y_escmax = stats[2 * B + 2 + 4 * B: 2 * B + 2 + 5 * B].astype(np.int64)
+        z_escmax = stats[2 * B + 2 + 5 * B: 2 * B + 2 + 6 * B].astype(np.int64)
+        esc_dense = self._esc_dense_flags(handle, y_escmax, z_escmax)
         if (y_counts.sum() > out["packed_y"].shape[0]
                 or z_counts.sum() > out["packed_z"].shape[0]):
             raise RuntimeError(
@@ -601,7 +659,8 @@ class Codec:
         for b in range(B):
             header = HeaderHandler.encode((H, W), max_abs_y,
                                           handle["quality_ind"],
-                                          tpu_format=True, lanes=self.lanes)
+                                          tpu_format=True, lanes=self.lanes,
+                                          esc_dense=bool(esc_dense[b]))
             r = dict(
                 string_list=[header,
                              pz[z_off[b]:z_off[b + 1]].tobytes(),
@@ -642,13 +701,16 @@ class Codec:
         return self.decompress_raw(
             [s[1] for s in string_lists], [s[2] for s in string_lists],
             (H, W), beta_rate, beta_vq, defer_fetch=defer_fetch,
-            stream_format=fmt, lanes=headers[0]["lanes"])
+            stream_format=fmt, lanes=headers[0]["lanes"],
+            esc_dense=any(bool(h["esc_dense"]) for h in headers)
+            if fmt == "tpu" else False)
 
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
                        img_size: Tuple[int, int], beta_rate: float,
                        beta_vq: float, defer_fetch: bool = False,
                        stream_format: Optional[str] = None,
-                       lanes: Optional[int] = None) -> np.ndarray:
+                       lanes: Optional[int] = None,
+                       esc_dense: bool = False) -> np.ndarray:
         """defer_fetch=True returns a PendingImages handle with the d2h copy
         already started — call .fetch() later to overlap the transfer with
         the next batch's compute."""
@@ -664,7 +726,8 @@ class Codec:
         if (stream_format or self.stream_format) == "tpu":
             return self._decompress_tpu(z_strs, y_strs, (H, W), beta_rate,
                                         beta_vq, defer_fetch,
-                                        lanes=lanes or self.lanes)
+                                        lanes=lanes or self.lanes,
+                                        esc_dense=esc_dense)
 
         # z: factorized decode, one shot per image (parallel across images)
         z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
@@ -712,7 +775,8 @@ class Codec:
                         img_size: Tuple[int, int], beta_rate: float,
                         beta_vq: float, defer_fetch: bool = False,
                         include_latents: bool = False,
-                        lanes: Optional[int] = None):
+                        lanes: Optional[int] = None,
+                        esc_dense: bool = False):
         """Decode device-coded streams: upload the word buffers, run ONE
         jitted graph (z decode + hyper + ChARM chain + reconstruction),
         download flat uint8 pixels."""
@@ -734,9 +798,11 @@ class Codec:
         split = max(H, W) > SPLIT_RESOLUTION
         recon = not split and not include_latents
         fn = self._get_jit(
-            ("tpu_dec", B, zH, zW, yH, yW, recon, include_latents, lanes),
+            ("tpu_dec", B, zH, zW, yH, yW, recon, include_latents, lanes,
+             esc_dense),
             lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, recon,
-                                        include_latents, lanes))
+                                        include_latents, lanes,
+                                        sparse_esc=not esc_dense))
         out = fn(self.params, z_words, z_base, y_words, y_base, b1, b2)
         check = lambda: self._check_consumed(out["consumed_words"],
                                              z_strs, y_strs)
@@ -813,10 +879,15 @@ class Codec:
         y_words, y_base = self._upload_words(y_strs, y_cap)
         z_words, z_base = self._upload_words(z_strs, z_cap)
         jax.block_until_ready((y_words, z_words))
+        esc_dense = any(
+            bool(HeaderHandler.decode(r["string_list"][0])["esc_dense"])
+            for r in res)
         fn = self._get_jit(
-            ("tpu_dec", B, zH, zW, yH, yW, True, False, self.lanes),
+            ("tpu_dec", B, zH, zW, yH, yW, True, False, self.lanes,
+             esc_dense),
             lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, True, False,
-                                        self.lanes))
+                                        self.lanes,
+                                        sparse_esc=not esc_dense))
 
         def run_dec():
             return jax.block_until_ready(
@@ -838,6 +909,13 @@ class Codec:
         desynchronizes the renorm pattern and fails here instead of silently
         decoding garbage pixels."""
         got = np.asarray(consumed)  # [2, B] = (z, y) final cursors
+        from ..ops.rans_device import ESC_POISON
+        if np.any(got >= ESC_POISON):
+            raise RuntimeError(
+                "tpu-format decode escape-table overflow: a section has "
+                "more escapes than the sparse epilogue's capacity but the "
+                "stream's dense-escape header flag is unset — corrupt "
+                "stream or mis-flagged encoder")
         want_z = np.array([len(s) // 2 for s in z_strs], got.dtype)
         want_y = np.array([len(s) // 2 for s in y_strs], got.dtype)
         if not (np.array_equal(got[0], want_z)
@@ -863,7 +941,10 @@ class Codec:
             br, bv = self.spec.quality_betas(hdr["quality_ind"])
             out = self._decompress_tpu(
                 [s[1] for s in string_lists], [s[2] for s in string_lists],
-                (H, W), br, bv, include_latents=True, lanes=hdr["lanes"])
+                (H, W), br, bv, include_latents=True, lanes=hdr["lanes"],
+                esc_dense=any(
+                    bool(HeaderHandler.decode(s[0])["esc_dense"])
+                    for s in string_lists))
             y_hat = np.asarray(out["y_hat"])
             z_hat = np.asarray(out["z_hat"])
             return all(

@@ -69,7 +69,7 @@ def _load() -> ctypes.CDLL:
         lib.dcvic_tpu_encode_stream.restype = ctypes.c_int
         lib.dcvic_tpu_encode_stream.argtypes = [
             i32p, i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-            u16p, ctypes.c_int]
+            u16p, ctypes.c_int, i32p]
         lib.dcvic_tpu_decode_stream.restype = ctypes.c_int
         lib.dcvic_tpu_decode_stream.argtypes = [
             u16p, ctypes.c_int, i32p, i32p, ctypes.c_int, ctypes.c_int,
@@ -144,13 +144,17 @@ def _u16p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
 
 
-def tpu_encode_sections(sections, table: CdfTable) -> bytes:
+def tpu_encode_sections(sections, table: CdfTable,
+                        return_esc_max: bool = False):
     """Host-side encoder for the TPU interleaved stream format
     (byte-identical to ops/rans_device.encode_stream + pack_streams).
 
     sections: list of (symbols [n, L], indexes [n, L]) in decode order
     (e.g. one per ChARM slice), all with the same L. Lane states chain
-    across sections: one 2L-word flush for the whole stream."""
+    across sections: one 2L-word flush for the whole stream.
+    return_esc_max=True returns (bytes, max per-section escape count) — the
+    driver compares the count to ops/rans_device.esc_cap() to pick the
+    decode graph's escape-epilogue variant (container header flag)."""
     lib = _load()
     syms, idxs, sec_n = [], [], []
     L = None
@@ -168,11 +172,13 @@ def tpu_encode_sections(sections, table: CdfTable) -> bytes:
     sec_n = np.asarray(sec_n, np.int32)
     cap = 2 * L + 4 * sym.size + 16  # renorm + tier-1 + 2 tier-2 worst case
     out = np.empty(cap, dtype=np.uint16)
+    esc_max = np.zeros(1, dtype=np.int32)
     r = lib.dcvic_tpu_encode_stream(
         _i32p(sym), _i32p(idx), _i32p(sec_n), len(sec_n), L, table._h,
-        _u16p(out), cap)
+        _u16p(out), cap, _i32p(esc_max))
     assert r >= 0, "tpu stream encode overflow (cap bug)"
-    return out[:r].tobytes()
+    data = out[:r].tobytes()
+    return (data, int(esc_max[0])) if return_esc_max else data
 
 
 def tpu_decode_stream(words: np.ndarray, index_sections, table: CdfTable):

@@ -339,9 +339,14 @@ extern "C" {
 // format was a 5-20% rate tax at low bpp with production lane counts).
 // Layout: [2L flush][sec0 renorm|tier-1|tier-2][sec1 renorm|...]...
 // Returns words written, or a negative number if cap is insufficient.
+// esc_max_out (nullable): receives the max per-section escape count, which
+// the driver compares against ops/rans_device.esc_cap() to decide whether
+// the device decoder's sparse escape epilogue is exact for this stream
+// (container header dense-escape flag).
 int dcvic_tpu_encode_stream(const int32_t *sym, const int32_t *idx,
                             const int32_t *sec_n, int n_sections, int L,
-                            const void *table, uint16_t *out, int cap) {
+                            const void *table, uint16_t *out, int cap,
+                            int32_t *esc_max_out) {
   const Table &t = *static_cast<const Table *>(table);
   int64_t total_steps = 0;
   std::vector<int64_t> sec_base(n_sections);
@@ -378,6 +383,15 @@ int dcvic_tpu_encode_stream(const int32_t *sym, const int32_t *idx,
         tier1[s].push_back(static_cast<uint16_t>(raw));
       }
     }
+  }
+  if (esc_max_out != nullptr) {
+    int32_t esc_max = 0;
+    for (int s = 0; s < n_sections; ++s) {
+      const size_t n1 = tier1[s].size();
+      if (static_cast<int32_t>(n1) > esc_max)
+        esc_max = static_cast<int32_t>(n1);
+    }
+    *esc_max_out = esc_max;
   }
 
   // reverse rANS pass, chained lane states (escape bins, no bypass words)

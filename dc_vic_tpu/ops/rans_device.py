@@ -57,6 +57,23 @@ LANES = 128               # max interleaved lanes per stream (see module doc)
 TIER1_MARKER = 0xFFFF     # side-channel: raw >= 0xFFFF spills to tier 2
 WORST_WORDS_PER_SYM = 4   # renorm + tier-1 + 2 tier-2
 ESC_FLAG = 1 << 30        # escape marker bit in the dense value table
+ESC_POISON = 1 << 26      # cursor poison when a section overflows esc_cap
+
+
+def esc_cap(n_symbols: int) -> int:
+    """Static escape-table capacity for the sparse decode epilogue. TPU
+    random gathers serialize at ~9 ns/element regardless of table size
+    (scripts/rans_sidechannel_probe.py), so the dense escape side-channel
+    decode — three gathers of ALL n symbols — costs ~27 ns/symbol even
+    though escapes are rare. The sparse epilogue instead materializes at
+    most esc_cap(n) escapes per image (small block reads + one dense
+    rank->value mapping). Realistic streams sit far below n/8 escapes; the
+    encoder flags streams that exceed it (container header bit) so the
+    decoder falls back to the always-exact dense epilogue, and the decode
+    cursor is poisoned with ESC_POISON on overflow so a mis-flagged stream
+    fails the driver's consumed-words integrity check instead of silently
+    decoding garbage."""
+    return min(n_symbols, max(1024, n_symbols // 8))
 
 
 def section_lanes(n_symbols: int, cap: int = LANES) -> int:
@@ -234,7 +251,8 @@ def pack_streams(vals: jnp.ndarray, mask: jnp.ndarray
 
 def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
                    cursor: jnp.ndarray, state: jnp.ndarray,
-                   idx: jnp.ndarray, table: DeviceCdfTable
+                   idx: jnp.ndarray, table: DeviceCdfTable,
+                   sparse_esc: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode one section: idx [B, n, L] int32 -> symbols [B, n, L] int32.
 
@@ -244,7 +262,12 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     stream, e.g. consecutive ChARM slices);
     state: lane states [B, L] carried from the previous section of the SAME
     stream (chained format), or None for the stream's first section (reads
-    the 2L flush words and advances the cursor past them).
+    the 2L flush words and advances the cursor past them);
+    sparse_esc: resolve the escape side channel through a capped per-image
+    escape table (esc_cap(n*L) entries) instead of three dense n*L-element
+    gathers — exact whenever every image's section has at most esc_cap
+    escapes, and poisons the cursor with ESC_POISON otherwise (the encoder
+    flags such streams so the driver picks the dense variant up front).
     Returns (symbols, new_cursor, final lane states [B, L])."""
     B, n, L = idx.shape
     tidx_rows = idx * (1 << PRECISION)  # [B, n, L], add cum at runtime
@@ -265,7 +288,9 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     def body(carry, rows_t):
         x, cur = carry
         cum = x & jnp.uint32(0xFFFF)
-        # the ONE random gather on the sequential critical path
+        # the ONE random gather on the sequential critical path (an
+        # optimization_barrier around it was A/B-tested: no effect —
+        # scripts/rans_sidechannel_probe.py items 2/3)
         adv = jnp.take(table.adv_flat, rows_t + cum.astype(jnp.int32),
                        mode="clip")
         x = (adv >> 16) * (x >> 16) + (adv & jnp.uint32(0xFFFF))
@@ -289,17 +314,43 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     esc_f = esc.reshape(B, -1)
     r1 = jnp.cumsum(esc_f, axis=1, dtype=jnp.int32)
     n_esc = r1[:, -1]
-    w1 = jnp.take(words, img_base[:, None] + cursor[:, None] + r1 - 1,
-                  mode="clip").astype(jnp.uint32)
-    big = esc_f & (w1 == TIER1_MARKER)
-    r2 = jnp.cumsum(big, axis=1, dtype=jnp.int32)
-    n_big = r2[:, -1]
-    t2b = img_base[:, None] + (cursor + n_esc)[:, None]
-    lo = jnp.take(words, t2b + 2 * r2 - 2, mode="clip").astype(jnp.uint32)
-    hi = jnp.take(words, t2b + 2 * r2 - 1, mode="clip").astype(jnp.uint32)
-    raw = jnp.where(big, lo | (hi << 16), w1).astype(jnp.int32)
-    raw = raw.reshape(B, n, L)
-    cursor = cursor + n_esc + 2 * n_big
+    if sparse_esc:
+        # capped escape table: all side-channel work at [B, E] instead of
+        # [B, n*L] (gathers serialize per element, so 3 dense n*L gathers
+        # -> 3 small E gathers + ONE dense rank->raw mapping)
+        E = esc_cap(n * L)
+        e_ar = jnp.arange(E, dtype=jnp.int32)
+        t1 = jnp.take(words,
+                      img_base[:, None] + cursor[:, None] + e_ar[None, :],
+                      mode="clip").astype(jnp.uint32)           # [B, E]
+        valid = e_ar[None, :] < n_esc[:, None]
+        big_e = valid & (t1 == TIER1_MARKER)
+        r2e = jnp.cumsum(big_e, axis=1, dtype=jnp.int32)
+        n_big = r2e[:, -1]
+        t2b = img_base[:, None] + (cursor + n_esc)[:, None]
+        lo = jnp.take(words, t2b + 2 * r2e - 2,
+                      mode="clip").astype(jnp.uint32)
+        hi = jnp.take(words, t2b + 2 * r2e - 1,
+                      mode="clip").astype(jnp.uint32)
+        raw_e = jnp.where(big_e, lo | (hi << 16), t1).astype(jnp.int32)
+        # dense rank -> raw mapping (the one remaining n*L-element gather)
+        raw = jnp.take_along_axis(raw_e, jnp.clip(r1 - 1, 0, E - 1),
+                                  axis=1).reshape(B, n, L)
+        overflow = jnp.maximum(n_esc - E, 0)
+        cursor = cursor + n_esc + 2 * n_big \
+            + jnp.where(overflow > 0, ESC_POISON, 0)
+    else:
+        w1 = jnp.take(words, img_base[:, None] + cursor[:, None] + r1 - 1,
+                      mode="clip").astype(jnp.uint32)
+        big = esc_f & (w1 == TIER1_MARKER)
+        r2 = jnp.cumsum(big, axis=1, dtype=jnp.int32)
+        n_big = r2[:, -1]
+        t2b = img_base[:, None] + (cursor + n_esc)[:, None]
+        lo = jnp.take(words, t2b + 2 * r2 - 2, mode="clip").astype(jnp.uint32)
+        hi = jnp.take(words, t2b + 2 * r2 - 1, mode="clip").astype(jnp.uint32)
+        raw = jnp.where(big, lo | (hi << 16), w1).astype(jnp.int32)
+        raw = raw.reshape(B, n, L)
+        cursor = cursor + n_esc + 2 * n_big
 
     off = (val & 0xFFFF) - (1 << 15)
     maxv = (val >> 16) & 0x3FFF

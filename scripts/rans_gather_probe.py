@@ -145,6 +145,85 @@ def main():
     print(f"scan, TABLE gather stubbed (word gather kept): {dt*1e3:7.2f} ms "
           f"({dt/steps*1e6:.1f} us/step)")
 
+    # (scan unroll=2/4/8 was measured at 433-437 us/step — no effect — and
+    # the knob was dropped from decode_section.)
+
+    # --- 2c. optimization_barrier around the in-scan gather. CAUTION on
+    # interpreting 2c/2d: these are SCAN-ONLY functions, while item 2 above
+    # times the full decode_section (scan + the out-of-scan val/side-channel
+    # epilogue). The right comparison is scripts/rans_sidechannel_probe.py,
+    # which shows the barrier itself has NO effect (15.88 vs 15.87 ms) and
+    # the scan/epilogue split is ~16/29 ms — the epilogue's three dense
+    # 786k-element escape gathers are the real cost, not in-scan fusion.
+    def dec_barrier(words, base, idx):
+        tidx_rows = idx * (1 << 16)
+        tr = lambda a: a.transpose(1, 0, 2)
+        lane2 = 2 * jnp.arange(L, dtype=jnp.int32)
+        gidx = base[:, None] + lane2
+        low = jnp.take(words, gidx, mode="clip").astype(jnp.uint32)
+        high = jnp.take(words, gidx + 1, mode="clip").astype(jnp.uint32)
+        x0 = low | (high << 16)
+        cursor = jnp.full((B,), 2 * L, jnp.int32)
+
+        def body(carry, rows_t):
+            x, cur = carry
+            cum = x & jnp.uint32(0xFFFF)
+            tix = jax.lax.optimization_barrier(
+                rows_t + cum.astype(jnp.int32))
+            adv = jnp.take(table.adv_flat, tix, mode="clip")
+            adv = jax.lax.optimization_barrier(adv)
+            x = (adv >> 16) * (x >> 16) + (adv & jnp.uint32(0xFFFF))
+            need = x < (1 << 16)
+            pos = jnp.cumsum(need, axis=1, dtype=jnp.int32)
+            widx = base[:, None] + cur[:, None] + pos - 1
+            w = jnp.take(words, widx, mode="clip").astype(jnp.uint32)
+            x = jnp.where(need, (x << 16) | w, x)
+            return (x, cur + pos[:, -1]), cum.astype(jnp.uint16)
+
+        (x_fin, cursor), cums = jax.lax.scan(
+            body, (x0, cursor), tr(tidx_rows))
+        return cums[0, 0, 0].astype(jnp.int32) + x_fin[0, 0].astype(jnp.int32)
+
+    dt = timeit(jax.jit(dec_barrier), [(words, base, idxj)])
+    print(f"scan, barrier-isolated TABLE gather:           {dt*1e3:7.2f} ms "
+          f"({dt/steps*1e6:.1f} us/step)")
+
+    # --- 2d. barrier around the WORD gather too
+    def dec_barrier2(words, base, idx):
+        tidx_rows = idx * (1 << 16)
+        tr = lambda a: a.transpose(1, 0, 2)
+        lane2 = 2 * jnp.arange(L, dtype=jnp.int32)
+        gidx = base[:, None] + lane2
+        low = jnp.take(words, gidx, mode="clip").astype(jnp.uint32)
+        high = jnp.take(words, gidx + 1, mode="clip").astype(jnp.uint32)
+        x0 = low | (high << 16)
+        cursor = jnp.full((B,), 2 * L, jnp.int32)
+
+        def body(carry, rows_t):
+            x, cur = carry
+            cum = x & jnp.uint32(0xFFFF)
+            tix = jax.lax.optimization_barrier(
+                rows_t + cum.astype(jnp.int32))
+            adv = jnp.take(table.adv_flat, tix, mode="clip")
+            adv = jax.lax.optimization_barrier(adv)
+            x = (adv >> 16) * (x >> 16) + (adv & jnp.uint32(0xFFFF))
+            need = x < (1 << 16)
+            pos = jnp.cumsum(need, axis=1, dtype=jnp.int32)
+            widx = jax.lax.optimization_barrier(
+                base[:, None] + cur[:, None] + pos - 1)
+            w = jax.lax.optimization_barrier(
+                jnp.take(words, widx, mode="clip")).astype(jnp.uint32)
+            x = jnp.where(need, (x << 16) | w, x)
+            return (x, cur + pos[:, -1]), cum.astype(jnp.uint16)
+
+        (x_fin, cursor), cums = jax.lax.scan(
+            body, (x0, cursor), tr(tidx_rows))
+        return cums[0, 0, 0].astype(jnp.int32) + x_fin[0, 0].astype(jnp.int32)
+
+    dt = timeit(jax.jit(dec_barrier2), [(words, base, idxj)])
+    print(f"scan, barriers on BOTH gathers:                {dt*1e3:7.2f} ms "
+          f"({dt/steps*1e6:.1f} us/step)")
+
     # --- 4. scan with BOTH gathers stubbed
     def dec_pure(words, base, idx):
         tidx_rows = idx * (1 << 16)

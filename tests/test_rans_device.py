@@ -13,10 +13,12 @@ import jax.numpy as jnp
 from dc_vic_tpu.ops.cdf import build_cdf_rows
 from dc_vic_tpu.ops.rans import CdfTable
 from dc_vic_tpu.ops.rans_device import (
+    ESC_POISON,
     DeviceCdfTable,
     decode_section,
     encode_sections,
     encode_stream,
+    esc_cap,
     pack_streams,
     section_lanes,
 )
@@ -198,6 +200,84 @@ def test_c_host_coder_matches_device_coder():
         dec, cursor, state = decode_section(jnp.asarray(words), base, cursor,
                                             state, jnp.asarray(idx[None]), dt)
         np.testing.assert_array_equal(np.asarray(dec)[0], sym)
+
+
+def _encode_for_decode(sym, idx, table, n_sections=1):
+    """Encode sym/idx [B, N] into (words, base, L, counts)."""
+    B, N = sym.shape
+    ns = N // n_sections
+    L = section_lanes(ns)
+    dt = DeviceCdfTable(table)
+    sections = [(jnp.asarray(sym[:, s * ns:(s + 1) * ns].reshape(B, -1, L)),
+                 jnp.asarray(idx[:, s * ns:(s + 1) * ns].reshape(B, -1, L)))
+                for s in range(n_sections)]
+    vals, mask = encode_stream(sections, dt)
+    packed, counts = pack_streams(vals, mask)
+    counts = np.asarray(counts)
+    words = np.asarray(packed)[: int(counts.sum())]
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    return dt, jnp.asarray(words), jnp.asarray(base), L, counts
+
+
+def test_sparse_escape_epilogue_matches_dense():
+    """The capped escape epilogue must decode bit-exactly whenever every
+    section's escape count is within esc_cap — including multi-section
+    chained streams, tier-2 (32-bit) escapes, and images with zero
+    escapes."""
+    table = _gaussian_table()
+    rng = np.random.default_rng(11)
+    B, N, n_sections = 3, 6144, 2
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    sym = np.round(rng.normal(0, 1.5, (B, N))).astype(np.int32)
+    # image 0: no escapes; image 1: sparse small escapes; image 2: sparse
+    # escapes incl. tier-2 raws
+    hot1 = rng.random(N) < 0.01
+    sym[1, hot1] = rng.integers(-200, 200, hot1.sum())
+    hot2 = rng.random(N) < 0.02
+    sym[2, hot2] = rng.integers(-30000, 30000, hot2.sum())
+    dt, words, base, L, counts = _encode_for_decode(sym, idx, table,
+                                                    n_sections)
+    ns = N // n_sections
+    cursor = jnp.zeros((B,), jnp.int32)
+    state = None
+    out = []
+    for s in range(n_sections):
+        sl = slice(s * ns, (s + 1) * ns)
+        dec, cursor, state = decode_section(
+            words, base, cursor, state,
+            jnp.asarray(idx[:, sl].reshape(B, -1, L)), dt, sparse_esc=True)
+        out.append(np.asarray(dec).reshape(B, -1))
+    assert np.array_equal(np.concatenate(out, axis=1), sym)
+    assert np.array_equal(np.asarray(cursor), counts)
+
+
+def test_sparse_escape_overflow_poisons_cursor():
+    """More escapes than esc_cap must poison the cursor (the driver's
+    consumed-words check turns that into a loud error) instead of silently
+    decoding garbage."""
+    table = _gaussian_table()
+    rng = np.random.default_rng(12)
+    B, N = 2, 2048
+    cap = esc_cap(N)
+    assert cap < N, "test geometry must leave room for overflow"
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    sym = np.round(rng.normal(0, 1.5, (B, N))).astype(np.int32)
+    sym[1, :] = rng.integers(-3000, 3000, N)  # image 1: ~all escapes
+    dt, words, base, L, counts = _encode_for_decode(sym, idx, table)
+    dec, cursor, _ = decode_section(
+        words, base, jnp.zeros((B,), jnp.int32), None,
+        jnp.asarray(idx.reshape(B, -1, L)), dt, sparse_esc=True)
+    cur = np.asarray(cursor)
+    assert cur[1] >= ESC_POISON, "overflowing image must be poisoned"
+    assert cur[0] == counts[0], "clean image must decode exactly"
+    assert np.array_equal(np.asarray(dec)[0].reshape(-1), sym[0])
+
+
+def test_esc_cap_static_properties():
+    for n in (64, 1024, 8192, 49152, 1 << 20):
+        cap = esc_cap(n)
+        assert 1 <= cap <= n
+        assert cap >= min(n, 1024)
 
 
 def test_chained_stream_rate_overhead_vs_compressai():
