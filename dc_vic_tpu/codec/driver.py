@@ -157,24 +157,49 @@ class Codec:
         return self._jit[key]
 
     # ------------------------------------------------------------------
-    def _encode_fn(self, shape, include_latents: bool):
+    # Pipeline stage builders. The codec runs encode and decode as CHAINS of
+    # small executables instead of two monolithic graphs, because the stream
+    # only stays synchronized if both sides derive bitwise-identical entropy
+    # parameters — and XLA lowers the same f32 subgraph differently in
+    # different executables (MXU tiling / bf16-multiply rounding are
+    # lowering-dependent; optimization barriers do NOT pin this). Every
+    # float that must match (hyper_out, per-slice mu, y_hat_prev, non-charm
+    # means) is therefore produced by ONE executable reused verbatim by both
+    # pipelines; only integers (symbols, stream words) cross between
+    # executables. See models/dc_vic.py "shared-executable pipeline" note
+    # and docs/PERF.md.
+    def _front_fn(self, shape):
         # Takes a FLAT uint8/f32 buffer: 1-D arrays cross the tunnel at the
         # raw link rate, while NHWC uint8 arrays pay a ~4x tiled-layout
         # penalty (see scripts/tunnel_bench.py).
         def f(params, x_flat, b1, b2):
             return self.module.apply(
                 params, x_flat.reshape(shape), b1, b2,
-                include_latents=include_latents,
-                method=self.module.encode_deterministic)
+                method=self.module.encode_front)
         return jax.jit(f)
 
-    def _encode_from_vq_fn(self, include_latents: bool):
+    def _front_from_vq_fn(self):
         def f(params, x, lat, idx, b1, b2):
             return self.module.apply(
                 params, x, lat, idx, b1, b2,
-                include_latents=include_latents,
-                method=self.module.encode_deterministic_from_vq)
+                method=self.module.encode_front_from_vq)
         return jax.jit(f)
+
+    def _symbolize_fn(self, i):
+        return jax.jit(lambda p, y, mu: self.module.apply(
+            p, i, y, mu, method=self.module.charm_symbolize))
+
+    def _y_means_idx_fn(self):
+        return jax.jit(lambda p, ho: self.module.apply(
+            p, ho, method=self.module.y_means_indexes))
+
+    def _y_symbolize_fn(self):
+        return jax.jit(lambda p, y, m: self.module.apply(
+            p, y, m, method=self.module.y_symbolize))
+
+    def _y_dequant_fn(self):
+        return jax.jit(lambda p, s, m: self.module.apply(
+            p, s, m, method=self.module.y_dequantize))
 
     def _vq_tile_fn(self):
         return jax.jit(lambda p, t: self.module.apply(
@@ -197,16 +222,12 @@ class Codec:
             p, i, ho, prev, sym, mu, method=self.module.charm_decode_step))
 
     def _recon_fn(self, flat: bool = True):
-        # flat=True emits a 1-D uint8 buffer (fast-path d2h, see _encode_fn).
+        # flat=True emits a 1-D uint8 buffer (fast-path d2h, see _front_fn).
         def f(p, y_hat, b1, b2):
             img = self.module.apply(
                 p, y_hat, b1, b2, method=self.module.reconstruct_uint8)
             return img.reshape(-1) if flat else img
         return jax.jit(f)
-
-    def _y_indexes_fn(self):
-        return jax.jit(lambda p, sigma: self.module.apply(
-            p, sigma, method=self.module.y_indexes))
 
     # --------------------------------------------------- tpu-format graphs
     # Word buffers that cross the host link are chunk-quantized so the jit
@@ -264,72 +285,94 @@ class Codec:
                           axis=(1, 2, 4), dtype=jnp.int32)
         return jnp.max(per_sec, axis=1)  # [B]
 
-    def _tpu_finish_encode(self, out, include_latents):
-        y_sym = out["y_symbols"].astype(jnp.int32)
-        y_idx = out["y_indexes"].astype(jnp.int32)
-        z_sym = out["z_symbols"].astype(jnp.int32)
-        packed_y, y_counts, packed_z, z_counts = self._tpu_pack(
-            y_sym, y_idx, z_sym)
-        Cz = z_sym.shape[-1]
-        z_idx = jnp.broadcast_to(jnp.arange(Cz, dtype=jnp.int32),
-                                 z_sym.shape)
-        y_escmax = self._esc_max(y_sym, y_idx, self._dtable("y"),
-                                 len(self._tpu_y_sections(y_sym.shape[-1])))
-        z_escmax = self._esc_max(z_sym, z_idx, self._dtable("z"), 1)
-        # one fused stats buffer (single small d2h): bit estimates + word
-        # counts. A raw f32 count is only exact below 2^24 words (~32 MB/
-        # image) and nothing bounds stream size for adversarial inputs, so
-        # each int32 count travels as two exactly-representable f32 halves
-        # (hi = count >> 12, lo = count & 0xFFF) — exact below 2^36 words.
-        # (Escape counts are bounded by section symbol counts < 2^24, so a
-        # single f32 each is exact.)
-        def f32_split(c):
-            c = c.astype(jnp.int32)
-            return jnp.concatenate([(c >> 12).astype(jnp.float32),
-                                    (c & 0xFFF).astype(jnp.float32)])
-        stats = jnp.concatenate([
-            out["y_bits"], out["z_bits"],
-            out["max_abs_y"][None], out["max_abs_sym"][None],
-            f32_split(y_counts), f32_split(z_counts),
-            y_escmax.astype(jnp.float32), z_escmax.astype(jnp.float32)])
-        res = dict(stats=stats, packed_y=packed_y, packed_z=packed_z)
-        if include_latents:
-            res.update(y_hat=out["y_hat"], z_hat=out["z_hat"])
-        return res
-
-    def _encode_tpu_fn(self, shape, include_latents: bool):
-        def f(params, x_flat, b1, b2):
-            out = self.module.apply(
-                params, x_flat.reshape(shape), b1, b2,
-                include_latents=include_latents,
-                method=self.module.encode_deterministic)
-            return self._tpu_finish_encode(out, include_latents)
+    def _pack_fn(self):
+        """tpu-format encode tail: (y symbols, cdf indexes, z symbols) ->
+        packed device streams + fused stats buffer. Integer-in, so it may be
+        its own executable (see the pipeline note above _front_fn)."""
+        def f(y_sym16, y_idx8, z_sym16, y_hat):
+            y_sym = y_sym16.astype(jnp.int32)
+            y_idx = y_idx8.astype(jnp.int32)
+            z_sym = z_sym16.astype(jnp.int32)
+            packed_y, y_counts, packed_z, z_counts = self._tpu_pack(
+                y_sym, y_idx, z_sym)
+            Cz = z_sym.shape[-1]
+            z_idx = jnp.broadcast_to(jnp.arange(Cz, dtype=jnp.int32),
+                                     z_sym.shape)
+            y_escmax = self._esc_max(
+                y_sym, y_idx, self._dtable("y"),
+                len(self._tpu_y_sections(y_sym.shape[-1])))
+            z_escmax = self._esc_max(z_sym, z_idx, self._dtable("z"), 1)
+            # pred bits are EXACT here: the packed word counts are the
+            # stream sizes actually written (x16 bits, incl. flush).
+            y_bits = y_counts.astype(jnp.float32) * 16.0
+            z_bits = z_counts.astype(jnp.float32) * 16.0
+            # one fused stats buffer (single small d2h): bits + word counts.
+            # A raw f32 count is only exact below 2^24 words (~32 MB/image)
+            # and nothing bounds stream size for adversarial inputs, so each
+            # int32 count travels as two exactly-representable f32 halves
+            # (hi = count >> 12, lo = count & 0xFFF) — exact below 2^36
+            # words. (Escape counts are bounded by section symbol counts
+            # < 2^24, so a single f32 each is exact.)
+            def f32_split(c):
+                c = c.astype(jnp.int32)
+                return jnp.concatenate([(c >> 12).astype(jnp.float32),
+                                        (c & 0xFFF).astype(jnp.float32)])
+            max_abs_y = jnp.max(jnp.abs(y_hat))
+            max_abs_sym = jnp.max(jnp.abs(y_sym)).astype(jnp.float32)
+            stats = jnp.concatenate([
+                y_bits, z_bits, max_abs_y[None], max_abs_sym[None],
+                f32_split(y_counts), f32_split(z_counts),
+                y_escmax.astype(jnp.float32),
+                z_escmax.astype(jnp.float32)])
+            return dict(stats=stats, packed_y=packed_y, packed_z=packed_z)
         return jax.jit(f)
 
-    def _encode_tpu_from_vq_fn(self, include_latents: bool):
-        def f(params, x, lat, idx, b1, b2):
-            out = self.module.apply(
-                params, x, lat, idx, b1, b2,
-                include_latents=include_latents,
-                method=self.module.encode_deterministic_from_vq)
-            return self._tpu_finish_encode(out, include_latents)
+    def _coalesce_fn(self):
+        """Host-coded formats' encode tail: fuse the symbol planes and stats
+        into the two d2h buffers compress_finalize reads (each separate
+        fetch over the tunnel pays a ~30 ms sync floor). pred bits use the
+        rANS tables (the cost of the bytes the C coder will write) instead
+        of the reference's Gaussian-likelihood estimate."""
+        from ..ops.rans_device import coded_bits
+
+        def f(y_sym16, y_idx8, z_sym16, y_hat):
+            y_sym = y_sym16.astype(jnp.int32)
+            y_idx = y_idx8.astype(jnp.int32)
+            z_sym = z_sym16.astype(jnp.int32)
+            B = y_sym.shape[0]
+            Cz = z_sym.shape[-1]
+            z_idx = jnp.broadcast_to(jnp.arange(Cz, dtype=jnp.int32),
+                                     z_sym.shape)
+            # Symbol and CDF index share one uint16 plane (sym in 10 bits
+            # biased, idx in 6 bits: 64 scale-table entries) — halves the
+            # symbol d2h bytes. The host falls back to the separate planes
+            # when max_abs_sym >= 512 (pathological inputs).
+            y_packed = ((y_idx8.astype(jnp.uint16) << 10)
+                        | (jnp.clip(y_sym, -512, 511) + 512)
+                        .astype(jnp.uint16))
+            sym_plane = jnp.concatenate(
+                [y_packed.reshape(B, -1),
+                 jax.lax.bitcast_convert_type(z_sym16, jnp.uint16)
+                    .reshape(B, -1)], axis=1)
+            y_bits = coded_bits(y_sym, y_idx, self._dtable("y"))
+            z_bits = coded_bits(z_sym, z_idx, self._dtable("z"))
+            max_abs_y = jnp.max(jnp.abs(y_hat))
+            max_abs_sym = jnp.max(jnp.abs(y_sym)).astype(jnp.float32)
+            stats = jnp.concatenate(
+                [y_bits, z_bits, max_abs_y[None], max_abs_sym[None]])
+            return dict(sym_plane=sym_plane, stats=stats)
         return jax.jit(f)
 
-    def _decode_tpu_fn(self, B, zH, zW, yH, yW, recon: bool,
-                       include_latents: bool, lanes: int,
-                       sparse_esc: bool = True):
-        """The whole decompress as ONE device graph: z entropy decode ->
-        hyperdecoder -> (autoregressive ChARM slice chain with in-graph
-        entropy decode | gaussian decode) -> optional reconstruction.
-        Zero host round trips inside the slice chain (the reference pays a
-        CPU<->GPU sync per slice, minnen20_charm_context_model.py:179-203).
-        sparse_esc selects the capped escape epilogue (default; exact for
-        streams without the header's dense-escape flag — the encoder sets
-        the flag whenever a section exceeds ops/rans_device.esc_cap)."""
+    def _zdec_fn(self, B, zH, zW, lanes: int, sparse_esc: bool):
+        """z stream entropy decode: word buffer -> z symbols (int16) +
+        consumed-words cursor. The cursor output doubles as the stream-
+        integrity check AND keeps the scan carry live: with dead cursors the
+        XLA:TPU backend has been observed to miscompile the decode scans in
+        large fused graphs (wrong symbols at ~2.5% of positions; see
+        tests/test_tiling.py large-image selfcheck and PERF.md)."""
         Cz = self.module.bottleneck_z
-        Cy = self.module.bottleneck_y
 
-        def f(params, z_words, z_base, y_words, y_base, b1, b2):
+        def f(z_words, z_base):
             zN = zH * zW * Cz
             Lz = section_lanes(zN, lanes)
             z_idx = jnp.broadcast_to(
@@ -338,63 +381,37 @@ class Codec:
             z_sym, z_cursor, _ = decode_section(
                 z_words, z_base, jnp.zeros((B,), jnp.int32), None, z_idx,
                 self._dtable("z"), sparse_esc=sparse_esc)
-            hyper_out, z_hat = self.module.apply(
-                params, z_sym.reshape(B, zH, zW, Cz),
-                method=self.module.hyper_decode)
-
-            cursor = jnp.zeros((B,), jnp.int32)
-            if self.module.use_charm:
-                sc = Cy // self.num_slices
-                L = section_lanes(yH * yW * sc, lanes)
-                y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
-                lane_state = None  # chained across slices: one flush/stream
-                for i in range(self.num_slices):
-                    mu, idx = self.module.apply(
-                        params, i, hyper_out, y_prev,
-                        method=self.module.charm_slice_params)
-                    sym, cursor, lane_state = decode_section(
-                        y_words, y_base, cursor, lane_state,
-                        idx.astype(jnp.int32).reshape(B, -1, L),
-                        self._dtable("y"), sparse_esc=sparse_esc)
-                    y_slice = self.module.apply(
-                        params, i, hyper_out, y_prev,
-                        sym.reshape(B, yH, yW, sc), mu,
-                        method=self.module.charm_slice_reconstruct)
-                    y_prev = jnp.concatenate([y_prev, y_slice], axis=-1)
-                y_hat = y_prev
-            else:
-                means, sigma = jnp.split(hyper_out, 2, axis=-1)
-                idx = self.module.apply(params, sigma,
-                                        method=self.module.y_indexes)
-                L = section_lanes(yH * yW * Cy, lanes)
-                sym, cursor, _ = decode_section(
-                    y_words, y_base, cursor, None,
-                    idx.astype(jnp.int32).reshape(B, -1, L),
-                    self._dtable("y"), sparse_esc=sparse_esc)
-                y_hat = (sym.reshape(B, yH, yW, Cy).astype(means.dtype)
-                         + means)
-
-            res = {}
-            if include_latents:
-                res.update(y_hat=y_hat, z_hat=z_hat)
-            if recon:
-                img = self.module.apply(
-                    params, y_hat, b1, b2,
-                    method=self.module.reconstruct_uint8)
-                res["img"] = img.reshape(-1)
-            elif "y_hat" not in res:
-                res["y_hat"] = y_hat
-            # The final per-image word-consumption counts are returned BOTH
-            # as a stream-integrity check (decoded-bytes accounting) and
-            # because they must stay live: with the final cursors dead, the
-            # XLA:TPU backend has been observed to miscompile the decode
-            # scans in large fused graphs (wrong symbols at ~2.5% of
-            # positions, reproducible; see tests/test_tiling.py large-image
-            # selfcheck and PERF.md). Keeping the carry outputs observable
-            # sidesteps the bad rewrite.
-            res["consumed_words"] = jnp.stack([z_cursor, cursor], axis=0)
-            return res
+            return (z_sym.reshape(B, zH, zW, Cz).astype(jnp.int16),
+                    z_cursor)
         return jax.jit(f)
+
+    def _ysec_fn(self, first: bool, B, yH, yW, sc, lanes: int,
+                 sparse_esc: bool):
+        """One y-stream section entropy decode: (words, cursor, lane states,
+        cdf indexes) -> (symbols int16 [B, yH, yW, sc], cursor, states).
+        first=True reads the stream's 2L flush words (chained format: lane
+        states then carry across the remaining sections). Integer-in/
+        integer-out, so the same executable serves every slice of the
+        chain; the float mu/y_prev path lives in the shared slice-step
+        executables instead (see _front_fn note)."""
+        L = section_lanes(yH * yW * sc, lanes)
+
+        def f(y_words, y_base, cursor, state, idx8):
+            idx = idx8.astype(jnp.int32).reshape(B, -1, L)
+            sym, cursor2, state2 = decode_section(
+                y_words, y_base, cursor, None if first else state, idx,
+                self._dtable("y"), sparse_esc=sparse_esc)
+            return (sym.reshape(B, yH, yW, sc).astype(jnp.int16),
+                    cursor2, state2)
+        return jax.jit(f)
+
+    def _concat_i16_fn(self):
+        """Channel-concat the per-slice int16 symbol planes (integers —
+        executable-boundary safe)."""
+        return jax.jit(lambda *parts: jnp.concatenate(parts, axis=-1))
+
+    def _concat_u8_fn(self):
+        return jax.jit(lambda *parts: jnp.concatenate(parts, axis=-1))
 
     def _upload_words(self, strings: List[bytes], cap: int):
         """Host bytes -> device word buffer of static capacity `cap`, with
@@ -432,6 +449,55 @@ class Codec:
         return B * y_cap, B * z_cap
 
     # ------------------------------------------------------------------
+    def _encode_param_chain(self, y, z_sym):
+        """Shared-executable encode chain: derive hyper_out, per-slice
+        mu/idx, and y_hat through THE SAME compiled executables the decoder
+        uses (same jit-cache keys as _decompress_tpu / decompress_raw), so
+        the entropy parameters both sides compute are bitwise identical by
+        construction. Returns (y_syms int16, y_idxs uint8, y_hat, z_hat)."""
+        p = self.params
+        B, yH, yW = y.shape[0], y.shape[1], y.shape[2]
+        hyper = self._get_jit(("hyper", z_sym.shape), self._hyper_decode_fn)
+        ho, z_hat = hyper(p, z_sym)
+        if self.module.use_charm:
+            y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
+            p0 = self._get_jit(("slice_p", 0, (B, yH, yW)),
+                               lambda: self._slice_params_fn(0))
+            mu, idx = p0(p, ho, y_prev)
+            syms, idxs = [], []
+            for i in range(self.num_slices):
+                sq = self._get_jit(("symq", i, y.shape),
+                                   lambda i=i: self._symbolize_fn(i))
+                sym = sq(p, y, mu)
+                syms.append(sym)
+                idxs.append(idx)
+                sf = self._get_jit(("slice_s", i, (B, yH, yW)),
+                                   lambda i=i: self._slice_step_fn(i))
+                y_prev, mu, idx = sf(p, ho, y_prev, sym, mu)
+            cat16 = self._get_jit(("cat16",), self._concat_i16_fn)
+            cat8 = self._get_jit(("cat8",), self._concat_u8_fn)
+            return cat16(*syms), cat8(*idxs), y_prev, z_hat
+        ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+        means, idx = ymi(p, ho)
+        sq = self._get_jit(("ysymq",), self._y_symbolize_fn)
+        sym = sq(p, y, means)
+        dq = self._get_jit(("ydq",), self._y_dequant_fn)
+        return sym, idx, dq(p, sym, means), z_hat
+
+    def _encode_tail(self, y, z_sym, tpu_dev: bool, debug: bool) -> Dict:
+        """Param chain + format-specific tail (device rANS pack | fused d2h
+        symbol planes). Returns the `out` dict compress_finalize reads."""
+        y_syms, y_idxs, y_hat, z_hat = self._encode_param_chain(y, z_sym)
+        tail = (self._get_jit(("pack",), self._pack_fn) if tpu_dev
+                else self._get_jit(("coalesce",), self._coalesce_fn))
+        out = dict(tail(y_syms, y_idxs, z_sym, y_hat))
+        # full-width fallback planes (host formats, pathological |sym|>=512)
+        out["y_symbols"] = y_syms
+        out["y_indexes"] = y_idxs
+        if debug:
+            out.update(y_hat=y_hat, z_hat=z_hat)
+        return out
+
     def compress_dispatch(self, images: np.ndarray,
                           quality_ind: Optional[int] = None,
                           beta_rate: Optional[float] = None,
@@ -456,23 +522,20 @@ class Codec:
         from .tiling import SPLIT_RESOLUTION
         tpu_dev = (self.stream_format == "tpu"
                    and self.encode_backend == "device")
-        if tpu_dev:
-            self._ensure_dtables()
+        # stats (exact/table-based pred bits) need the device tables in
+        # every format now
+        self._ensure_dtables()
         if max(x.shape[1], x.shape[2]) > SPLIT_RESOLUTION:
             lat, idx = self._split_vq_encode(x)
-            enc = self._get_jit(
-                ("enc_vq", tpu_dev, x.shape, debug),
-                lambda: (self._encode_tpu_from_vq_fn(debug) if tpu_dev
-                         else self._encode_from_vq_fn(debug)))
-            out = enc(self.params, jnp.asarray(x), lat, idx, b1, b2)
+            front = self._get_jit(("front_vq",), self._front_from_vq_fn)
+            y, z_sym = front(self.params, jnp.asarray(x), lat, idx, b1, b2)
         else:
-            enc = self._get_jit(
-                ("enc", tpu_dev, x.shape, debug),
-                lambda: (self._encode_tpu_fn(x.shape, debug) if tpu_dev
-                         else self._encode_fn(x.shape, debug)))
-            out = enc(self.params,
-                      jnp.asarray(np.ascontiguousarray(x).reshape(-1)),
-                      b1, b2)
+            front = self._get_jit(("front", x.shape),
+                                  lambda: self._front_fn(x.shape))
+            y, z_sym = front(
+                self.params,
+                jnp.asarray(np.ascontiguousarray(x).reshape(-1)), b1, b2)
+        out = self._encode_tail(y, z_sym, tpu_dev, debug)
         # Start d2h only for the fused buffers finalize reads (everything
         # else — y_symbols/y_indexes fallback planes, debug latents — stays
         # on device unless actually fetched).
@@ -629,7 +692,7 @@ class Codec:
         y_bits, z_bits = stats[:B], stats[B:2 * B]
         max_abs_y = int(stats[2 * B])
 
-        def f32_join(seg):  # inverse of _tpu_finish_encode's f32_split
+        def f32_join(seg):  # inverse of _pack_fn's f32_split
             return (seg[:B].astype(np.int64) << 12) | seg[B:].astype(np.int64)
         y_counts = f32_join(stats[2 * B + 2: 2 * B + 2 + 2 * B])
         z_counts = f32_join(stats[2 * B + 2 + 2 * B: 2 * B + 2 + 4 * B])
@@ -746,15 +809,18 @@ class Codec:
         if self.module.use_charm:
             y_hat = self._charm_decode(hyper_out, y_strs, B, yH, yW, Cy)
         else:
-            means, sigma = np.split(np.asarray(hyper_out), 2, axis=-1)
-            yidx_fn = self._get_jit(("yidx", sigma.shape), self._y_indexes_fn)
-            idx = np.asarray(yidx_fn(self.params, jnp.asarray(sigma)),
-                             np.int32)
+            # shared executables with the encode pipeline — idx/means must
+            # match the encoder bitwise (see _encode_param_chain)
+            ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+            means, idx8 = ymi(self.params, hyper_out)
+            idx = np.asarray(idx8, np.int32)
             sym = np.stack([
                 decode_with_indexes(s, idx[b].reshape(-1), self.y_table)
                 .reshape(yH, yW, Cy)
                 for b, s in enumerate(y_strs)])
-            y_hat = jnp.asarray(sym.astype(np.float32)) + jnp.asarray(means)
+            dq = self._get_jit(("ydq",), self._y_dequant_fn)
+            y_hat = dq(self.params,
+                       jnp.asarray(sym.astype(np.int16)), means)
 
         from .tiling import SPLIT_RESOLUTION
         if max(H, W) > SPLIT_RESOLUTION:
@@ -771,15 +837,72 @@ class Codec:
         pending = PendingImages(fake, (B, padH, padW, H, W))
         return pending if defer_fetch else pending.fetch()
 
+    def _decode_pipeline(self, z_words, z_base, y_words, y_base,
+                         B, zH, zW, yH, yW, lanes: int, sparse_esc: bool,
+                         recon: bool, b1, b2) -> Dict:
+        """tpu-format decode as a chain of executables: z scan -> hyper ->
+        per-slice (shared params/step + y-section scan) -> optional
+        reconstruction. All dispatches are async; nothing blocks until the
+        caller fetches. Returns {y_hat, z_hat, consumed_words[, img]}."""
+        p = self.params
+        Cy = self.module.bottleneck_y
+        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc),
+                             lambda: self._zdec_fn(B, zH, zW, lanes,
+                                                   sparse_esc))
+        z_sym, z_cursor = zdec(z_words, z_base)
+        hyper = self._get_jit(("hyper", z_sym.shape), self._hyper_decode_fn)
+        ho, z_hat = hyper(p, z_sym)
+        cursor = jnp.zeros((B,), jnp.int32)
+        if self.module.use_charm:
+            sc = Cy // self.num_slices
+            L = section_lanes(yH * yW * sc, lanes)
+            y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
+            p0 = self._get_jit(("slice_p", 0, (B, yH, yW)),
+                               lambda: self._slice_params_fn(0))
+            mu, idx = p0(p, ho, y_prev)
+            state = jnp.zeros((B, L), jnp.uint32)  # ignored by first=True
+            for i in range(self.num_slices):
+                yd = self._get_jit(
+                    ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc),
+                    lambda f=(i == 0): self._ysec_fn(f, B, yH, yW, sc,
+                                                     lanes, sparse_esc))
+                sym, cursor, state = yd(y_words, y_base, cursor, state, idx)
+                sf = self._get_jit(("slice_s", i, (B, yH, yW)),
+                                   lambda i=i: self._slice_step_fn(i))
+                y_prev, mu, idx = sf(p, ho, y_prev, sym, mu)
+            y_hat = y_prev
+        else:
+            ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+            means, idx = ymi(p, ho)
+            yd = self._get_jit(
+                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc),
+                lambda: self._ysec_fn(True, B, yH, yW, Cy, lanes,
+                                      sparse_esc))
+            state = jnp.zeros(
+                (B, section_lanes(yH * yW * Cy, lanes)), jnp.uint32)
+            sym, cursor, state = yd(y_words, y_base, cursor, state, idx)
+            dq = self._get_jit(("ydq",), self._y_dequant_fn)
+            y_hat = dq(p, sym, means)
+        res = dict(y_hat=y_hat, z_hat=z_hat,
+                   consumed_words=jnp.stack([z_cursor, cursor], axis=0))
+        if recon:
+            rec = self._get_jit(("recon_flat", (B, yH, yW, Cy)),
+                                self._recon_fn)
+            res["img"] = rec(p, y_hat, b1, b2)
+        return res
+
     def _decompress_tpu(self, z_strs: List[bytes], y_strs: List[bytes],
                         img_size: Tuple[int, int], beta_rate: float,
                         beta_vq: float, defer_fetch: bool = False,
                         include_latents: bool = False,
                         lanes: Optional[int] = None,
                         esc_dense: bool = False):
-        """Decode device-coded streams: upload the word buffers, run ONE
-        jitted graph (z decode + hyper + ChARM chain + reconstruction),
-        download flat uint8 pixels."""
+        """Decode device-coded streams: upload the word buffers, run the
+        shared-executable pipeline (z decode -> hyper -> ChARM chain with
+        device rANS sections -> reconstruction), download flat uint8 pixels.
+        The entropy-parameter executables are the SAME objects the encoder
+        dispatched (see _encode_param_chain), so mu/sigma/y_hat_prev match
+        the encoder bitwise by construction."""
         H, W = img_size
         B = len(z_strs)
         self._ensure_dtables()
@@ -797,13 +920,10 @@ class Codec:
         from .tiling import SPLIT_RESOLUTION
         split = max(H, W) > SPLIT_RESOLUTION
         recon = not split and not include_latents
-        fn = self._get_jit(
-            ("tpu_dec", B, zH, zW, yH, yW, recon, include_latents, lanes,
-             esc_dense),
-            lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, recon,
-                                        include_latents, lanes,
-                                        sparse_esc=not esc_dense))
-        out = fn(self.params, z_words, z_base, y_words, y_base, b1, b2)
+        out = self._decode_pipeline(z_words, z_base, y_words, y_base,
+                                    B, zH, zW, yH, yW, lanes,
+                                    sparse_esc=not esc_dense,
+                                    recon=recon, b1=b1, b2=b2)
         check = lambda: self._check_consumed(out["consumed_words"],
                                              z_strs, y_strs)
         if include_latents:
@@ -830,13 +950,15 @@ class Codec:
                            beta_rate: Optional[float] = None,
                            beta_vq: Optional[float] = None,
                            iters: int = 3) -> Dict[str, float]:
-        """Time the pure DEVICE graphs of one codec cycle — encode graph and
-        (tpu-format) decode graph — with every input already resident on
-        device. Excludes the host link, h2d/d2h transfers, and host entropy
-        coding entirely, so the number is stable under shared-link weather
-        and regressions in it are attributable to the graphs themselves
+        """Time the pure DEVICE pipelines of one codec cycle — the encode
+        chain (front -> shared param chain -> device rANS pack) and the
+        tpu-format decode chain — with every input already resident on
+        device. Each chain is async-dispatched end to end and blocked once,
+        so the measurement includes dispatch overhead but excludes the host
+        link, h2d/d2h transfers, and host entropy coding — stable under
+        shared-link weather, regressions attributable to the graphs
         (bench.py reports it as "device_only"). Returns median seconds per
-        batch for each graph."""
+        batch for each chain."""
         import time as _time
         assert self.stream_format == "tpu", "device cycle needs tpu format"
         if quality_ind is not None:
@@ -847,18 +969,17 @@ class Codec:
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
 
-        tpu_dev = self.encode_backend == "device"
-        if tpu_dev:
-            self._ensure_dtables()
-        enc = self._get_jit(
-            ("enc", tpu_dev, x.shape, False),
-            lambda: (self._encode_tpu_fn(x.shape, False) if tpu_dev
-                     else self._encode_fn(x.shape, False)))
+        self._ensure_dtables()
+        front = self._get_jit(("front", x.shape),
+                              lambda: self._front_fn(x.shape))
         x_dev = jax.block_until_ready(
             jnp.asarray(np.ascontiguousarray(x).reshape(-1)))
 
         def run_enc():
-            return jax.block_until_ready(enc(self.params, x_dev, b1, b2))
+            y, z_sym = front(self.params, x_dev, b1, b2)
+            out = self._encode_tail(y, z_sym, tpu_dev=True, debug=False)
+            return jax.block_until_ready((out["stats"], out["packed_y"],
+                                          out["packed_z"]))
         run_enc()  # compile/warm
         enc_times = []
         for _ in range(iters):
@@ -866,7 +987,7 @@ class Codec:
             run_enc()
             enc_times.append(_time.perf_counter() - t0)
 
-        # streams once (any path), then stage the decode graph inputs
+        # streams once (any path), then stage the decode pipeline inputs
         res = self.compress(images, beta_rate=beta_rate, beta_vq=beta_vq)
         z_strs = [r["string_list"][1] for r in res]
         y_strs = [r["string_list"][2] for r in res]
@@ -874,7 +995,6 @@ class Codec:
         padW = -(-W // self.model_stride) * self.model_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
         yH, yW = padH // self.y_stride, padW // self.y_stride
-        self._ensure_dtables()
         y_cap, z_cap = self._tpu_caps(B, yH, yW, zH, zW, self.lanes)
         y_words, y_base = self._upload_words(y_strs, y_cap)
         z_words, z_base = self._upload_words(z_strs, z_cap)
@@ -882,16 +1002,14 @@ class Codec:
         esc_dense = any(
             bool(HeaderHandler.decode(r["string_list"][0])["esc_dense"])
             for r in res)
-        fn = self._get_jit(
-            ("tpu_dec", B, zH, zW, yH, yW, True, False, self.lanes,
-             esc_dense),
-            lambda: self._decode_tpu_fn(B, zH, zW, yH, yW, True, False,
-                                        self.lanes,
-                                        sparse_esc=not esc_dense))
 
         def run_dec():
-            return jax.block_until_ready(
-                fn(self.params, z_words, z_base, y_words, y_base, b1, b2))
+            out = self._decode_pipeline(z_words, z_base, y_words, y_base,
+                                        B, zH, zW, yH, yW, self.lanes,
+                                        sparse_esc=not esc_dense,
+                                        recon=True, b1=b1, b2=b2)
+            return jax.block_until_ready((out["img"],
+                                          out["consumed_words"]))
         run_dec()
         dec_times = []
         for _ in range(iters):
@@ -969,13 +1087,15 @@ class Codec:
             y_hat = np.asarray(self._charm_decode(
                 hyper_out, [s[2] for s in string_lists], B, yH, yW, Cy))
         else:
-            means, sigma = np.split(np.asarray(hyper_out), 2, axis=-1)
-            yidx_fn = self._get_jit(("yidx", sigma.shape), self._y_indexes_fn)
-            idx = np.asarray(yidx_fn(self.params, jnp.asarray(sigma)), np.int32)
+            ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+            means, idx8 = ymi(self.params, hyper_out)
+            idx = np.asarray(idx8, np.int32)
             sym = np.stack([
                 decode_with_indexes(s[2], idx[b].reshape(-1), self.y_table)
                 .reshape(yH, yW, Cy) for b, s in enumerate(string_lists)])
-            y_hat = sym.astype(np.float32) + means
+            dq = self._get_jit(("ydq",), self._y_dequant_fn)
+            y_hat = np.asarray(dq(self.params,
+                                  jnp.asarray(sym.astype(np.int16)), means))
         z_hat = np.asarray(z_hat)
         ok = True
         for b, r in enumerate(results):
@@ -1027,50 +1147,28 @@ class Codec:
             tops, lefts, DEC_WINDOW_Y, DEC_STRIDE_Y, scale=self.y_stride)
 
     def _charm_decode(self, hyper_out, y_strs: List[bytes], B, yH, yW, Cy):
-        """Per-slice sequential decode. With >=2 images the batch is split in
-        half and the two slice chains are interleaved, so one half's host
-        rANS decode overlaps the other half's device slice step (the decode
-        analog of the dispatch/finalize encode pipeline)."""
-        if B >= 2:
-            h = B // 2
-            halves = [(0, h), (h, B)]
-            outs = self._charm_decode_interleaved(
-                hyper_out, y_strs, halves, yH, yW, Cy)
-            return jnp.concatenate(outs, axis=0)
-        return self._charm_decode_interleaved(
-            hyper_out, y_strs, [(0, B)], yH, yW, Cy)[0]
-
-    def _charm_decode_interleaved(self, hyper_out, y_strs, halves,
-                                  yH, yW, Cy):
-        """Run one slice chain per (start, end) half, round-robin: while the
-        device computes half j's slice step, the host rANS-decodes half
-        j+1's symbols."""
+        """Per-slice sequential host-coded decode, through the SAME slice
+        executables the encoder dispatched (same jit keys incl. full batch
+        shape, symbols always int16). The previous version interleaved two
+        half-batch chains to overlap host rANS with device compute — but
+        half-batch executables are DIFFERENT XLA lowerings, and the encoder
+        symbolized against full-batch mu/sigma: bf16-boundary values can
+        flip between lowerings and desynchronize the stream (the round-3
+        bug class; see _encode_param_chain). Correctness wins."""
         slice_ch = Cy // self.num_slices
         decoders = [RansDecoder(s) for s in y_strs]
-        state = []
-        for (s, e) in halves:
-            hb = e - s
-            y_prev = jnp.zeros((hb, yH, yW, 0), jnp.float32)
-            ho = hyper_out[s:e]
-            p0 = self._get_jit(("slice_p", 0, (hb, yH, yW)),
-                               lambda: self._slice_params_fn(0))
-            mu, idx = p0(self.params, ho, y_prev)
-            state.append([ho, y_prev, mu, idx, s, e])
-
+        y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
+        p0 = self._get_jit(("slice_p", 0, (B, yH, yW)),
+                           lambda: self._slice_params_fn(0))
+        mu, idx = p0(self.params, hyper_out, y_prev)
         for i in range(self.num_slices):
-            for st in state:
-                ho, y_prev, mu, idx, s, e = st
-                idx_np = np.asarray(idx, np.int32)
-                sym = np.stack(list(self._pool.map(
-                    lambda b: decoders[b]
-                    .decode_stream(idx_np[b - s].reshape(-1), self.y_table)
-                    .reshape(yH, yW, slice_ch), range(s, e))))
-                # upload int8 when the decoded symbols fit (the common case
-                # for natural images) — halves the per-slice h2d; jit
-                # retraces per dtype so the int16 fallback stays correct.
-                dt = np.int8 if np.abs(sym).max() < 128 else np.int16
-                sf = self._get_jit(("slice_s", i, (e - s, yH, yW)),
-                                   lambda i=i: self._slice_step_fn(i))
-                st[1], st[2], st[3] = sf(self.params, ho, y_prev,
-                                         jnp.asarray(sym.astype(dt)), mu)
-        return [st[1] for st in state]
+            idx_np = np.asarray(idx, np.int32)
+            sym = np.stack(list(self._pool.map(
+                lambda b: decoders[b]
+                .decode_stream(idx_np[b].reshape(-1), self.y_table)
+                .reshape(yH, yW, slice_ch), range(B))))
+            sf = self._get_jit(("slice_s", i, (B, yH, yW)),
+                               lambda i=i: self._slice_step_fn(i))
+            y_prev, mu, idx = sf(self.params, hyper_out, y_prev,
+                                 jnp.asarray(sym.astype(np.int16)), mu)
+        return y_prev

@@ -89,13 +89,28 @@ class GaussianConditional:
     def build_indexes(self, scales, scale_table: np.ndarray) -> jnp.ndarray:
         """Index of the smallest table scale >= scale (after bounding).
 
-        Equivalent to counting table entries strictly below each scale
-        (compressai semantics), computed as a binary search instead of a
-        [..., len(table)] broadcast-compare (which materializes a tensor 64x
-        the latent and dominated the encode graph)."""
+        Computed as the count of table entries strictly below each scale
+        (compressai semantics: reference build_indexes subtracts
+        (scales <= s) per table entry), via a broadcast-compare + fused
+        reduction. Do NOT use jnp.searchsorted here: on TPU it lowers to a
+        binary search whose per-iteration table gathers serialize at ~9
+        ns/element — ~42 ms per 786k-element ChARM slice, which dominated
+        BOTH codec graphs (~250 ms of the decode's former 250 ms
+        "composition gap" and a similar share of the encode graph; see
+        scripts/decode_gap_probe.py round-3 log). The compare-reduce fuses
+        to pure vector ops with no [..., T] materialization."""
         scales = jnp.maximum(scales, self.scale_bound)
+        # Pin the compare operand: searchsorted forced `scales` to
+        # materialize, and that materialization was load-bearing — a fused
+        # compare lets XLA:TPU rematerialize the sigma producer chain with
+        # excess precision DIFFERENTLY in the encode and decode graphs, so
+        # indexes disagree at representation ties and the streams desync
+        # (observed: 7/16 bench images under-consumed y words; same bug
+        # class as PERF.md §8).
+        scales = jax.lax.optimization_barrier(scales)
         table = jnp.asarray(scale_table[:-1], scales.dtype)
-        return jnp.searchsorted(table, scales, side="left").astype(jnp.int32)
+        return jnp.sum(scales[..., None] > table,
+                       axis=-1).astype(jnp.int32)
 
     # --- offline table building ------------------------------------------------
     def build_cdf_table(self, scale_table: Optional[np.ndarray] = None) -> CdfTable:

@@ -449,6 +449,62 @@ class DCVICModel(nn.Module):
         # Pinned to match the encode side bitwise (see encode_deterministic).
         return jax.lax.optimization_barrier(self.hyperdecoder(z_hat)), z_hat
 
+    # ------------------------------------------- shared-executable pipeline
+    # The rANS stream only stays synchronized if the decoder derives
+    # BITWISE-identical entropy parameters (hyper_out, per-slice mu/sigma,
+    # y_hat_prev) from the transmitted integers. Optimization barriers are
+    # not sufficient: XLA lowers the same f32 subgraph differently in
+    # differently-shaped executables (MXU tiling / bf16-multiply rounding
+    # are lowering-dependent), and at Kodak batch-16 geometry the encode and
+    # decode monoliths were observed to disagree on mu by bf16-ULP amounts —
+    # desynchronizing the stream (round-3 regression; first instance of the
+    # class in PERF.md §8). The codec driver therefore runs BOTH pipelines
+    # through the SAME compiled executables for every float that must match:
+    # hyper_decode, charm_slice_params, charm_decode_step (and
+    # y_means_indexes / y_dequantize for non-ChARM models). Only integers
+    # (z/y symbols, stream words) cross executable boundaries — those are
+    # exact by construction. encode_front is the encoder-only stage that
+    # stops at the integer z symbols.
+    def encode_front(self, x, beta_rate, beta_vq):
+        """Pipeline encode stage 1: image -> (y f32, z symbols int16).
+        Everything downstream (hyper_out, mu/sigma, y_hat) is recomputed by
+        the decoder and must come from shared executables — see above."""
+        x = to_model_range(x)
+        gt_vq_latent, gt_vq_indices = self.vq_encode(x)
+        return self.encode_front_from_vq(x, gt_vq_latent, gt_vq_indices,
+                                         beta_rate, beta_vq)
+
+    def encode_front_from_vq(self, x, gt_vq_latent, gt_vq_indices,
+                             beta_rate, beta_vq):
+        """encode_front with the VQ stage precomputed (>1024px split path)."""
+        x = to_model_range(x)
+        y = self.comp_encode(x, gt_vq_latent, gt_vq_indices,
+                             beta_rate, beta_vq)
+        z = jax.lax.optimization_barrier(
+            self.hyperencoder(y).astype(jnp.float32))
+        z_sym = self.entropy_z.quantize_symbols(z)
+        return y, jnp.clip(z_sym, -32000, 32000).astype(jnp.int16)
+
+    def charm_symbolize(self, slice_ind: int, y, mu):
+        """Encode-side slice symbolization: clip(round(y_i - mu)) as int16.
+        Elementwise on (pinned f32 y, shared-executable mu) — deterministic
+        across executables, so it may live in its own tiny jit."""
+        sc = self.bottleneck_y // self.context_model.num_slices
+        y_slice = y[..., slice_ind * sc:(slice_ind + 1) * sc]
+        return self.gaussian.quantize_symbols(y_slice, mu).astype(jnp.int16)
+
+    def y_means_indexes(self, hyper_out):
+        """Non-ChARM: (means, cdf indexes) from hyper_out — the decode-side
+        executable the encode pipeline shares (see pipeline note above)."""
+        means, sigma = jnp.split(hyper_out, 2, axis=-1)
+        return means, self.y_indexes(sigma).astype(jnp.uint8)
+
+    def y_symbolize(self, y, means):
+        return self.gaussian.quantize_symbols(y, means).astype(jnp.int16)
+
+    def y_dequantize(self, symbols, means):
+        return self.gaussian.dequantize(symbols.astype(jnp.int32), means)
+
     def charm_slice_params(self, slice_ind: int, hyper_out, y_hat_prev):
         """Decode-side: (mu, cdf indexes) for one slice."""
         mu, sigma = self.context_model.slice_params(

@@ -154,6 +154,23 @@ def _precompute(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable):
     return start, freq, esc, raw
 
 
+def coded_bits(sym: jnp.ndarray, idx: jnp.ndarray,
+               table: DeviceCdfTable) -> jnp.ndarray:
+    """Exact per-image rANS coding cost in bits (excluding the per-stream
+    flush): -log2(freq/2^PRECISION) per coded symbol, plus the side-channel
+    words escapes emit (16 bits tier-1, +32 bits tier-2). Replaces the
+    Gaussian-likelihood estimate for pred_bpp reporting: this is the cost
+    of the bytes actually written, not a continuous-model approximation.
+    sym/idx [B, ...] -> [B] float32."""
+    B = sym.shape[0]
+    _, freq, esc, raw = _precompute(sym.reshape(B, -1), idx.reshape(B, -1),
+                                    table)
+    bits = PRECISION - jnp.log2(freq.astype(jnp.float32))
+    extra = jnp.where(esc,
+                      jnp.where(raw >= TIER1_MARKER, 48.0, 16.0), 0.0)
+    return jnp.sum(bits + extra, axis=1)
+
+
 def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
                 x0: jnp.ndarray):
     """Reverse-encode one section starting from lane states x0 [B, L].

@@ -1,4 +1,14 @@
-"""Bisect the decode graph's composition gap.
+"""[HISTORICAL — targets the pre-pipeline monolithic decode graph]
+
+This probe's investigation concluded in round 3: the "composition gap" was
+jnp.searchsorted in GaussianConditional.build_indexes (a binary search whose
+serialized table gathers cost ~42 ms per ChARM slice in BOTH codec graphs —
+see codec/gaussian.py), and the monolithic decode graph it bisects was then
+replaced by the shared-executable pipeline (driver._decode_pipeline) for
+cross-graph determinism. The script is kept as the experiment log; it no
+longer runs against the current driver (driver._decode_tpu_fn is gone).
+
+Original purpose: bisect the decode graph's composition gap.
 
 decode_profile.py measures whole decode graph (recon=False) at ~543 ms vs
 ~291 ms for the sum of its standalone parts (z scan + hyper + 6x charm convs
@@ -99,10 +109,14 @@ def main():
     Ly = section_lanes(yH * yW * sc, lanes)
     Lz = section_lanes(zH * zW * Cz, lanes)
 
-    # reference symbols for the stub variants (from a real decode)
+    # reference symbols for the stub variants (from a real decode).
+    # sparse_esc=False: PRNG-weight bench streams run ~74% escapes, far over
+    # esc_cap, so the sparse epilogue would poison the cursor (the driver
+    # would pick the dense graph from the header's dense-escape flag).
     dec_lat = codec._get_jit(
-        ("tpu_dec", B, zH, zW, yH, yW, False, True, lanes),
-        lambda: codec._decode_tpu_fn(B, zH, zW, yH, yW, False, True, lanes))
+        ("tpu_dec", B, zH, zW, yH, yW, False, True, lanes, True),
+        lambda: codec._decode_tpu_fn(B, zH, zW, yH, yW, False, True, lanes,
+                                     sparse_esc=False))
     out_ref = dec_lat(params, zw, zb, yw, yb, b1, b1)
     z_sym_ref = jnp.round(out_ref["z_hat"]).astype(jnp.int32)
     y_hat_ref = out_ref["y_hat"]
@@ -146,6 +160,14 @@ def main():
         sym = jnp.where(val >= ESC_FLAG, 0, val)
         return sym, cursor, x_fin
 
+    def flat_norm(a):
+        """Pin `a` to a fresh dense layout: a 1-D tensor has exactly one
+        dense layout, so barrier(reshape(-1)) then reshape back strips any
+        padded/tiled layout the producer (conv) chain would otherwise
+        propagate into the scan xs."""
+        import jax as _jax
+        return _jax.lax.optimization_barrier(a.reshape(-1)).reshape(a.shape)
+
     def make_graph(variant):
         fixed_idx = jnp.asarray(
             rng.integers(0, 64, (B, yH * yW * sc // Ly, Ly)), np.int32)
@@ -177,6 +199,12 @@ def main():
                 idx3 = idx.astype(jnp.int32).reshape(B, -1, Ly)
                 if variant == "fixedidx":
                     idx3 = fixed_idx + 0 * idx3[:, :1, :1]
+                elif variant == "inputidx":
+                    # traced INPUT values (convs still run, idx discarded):
+                    # discriminates intermediate-vs-input from const-vs-var
+                    idx3 = y_syms_in[i] % 64 + 0 * idx3[:, :1, :1]
+                elif variant == "flatxs":
+                    idx3 = flat_norm(idx3)
                 if variant == "noscan":
                     sym = y_syms_in[i]
                     cursor = cursor + jnp.sum(sym[..., :1] * 0, axis=(1, 2)

@@ -1,6 +1,6 @@
 """Sub-graph decomposition of the tpu-format decode at bench geometry.
 
-The full decompress is ONE jitted graph (driver._decode_tpu_fn): z rANS ->
+The decode pipeline (driver._decode_pipeline, shared executables): z rANS ->
 hyperdecoder -> 6x(ChARM slice params -> rANS -> slice reconstruct) ->
 reconstruction. To target optimization, this times each constituent as its
 own jitted graph at the real flagship shapes (batch 16, Kodak 768x512,
@@ -168,9 +168,9 @@ def main():
     total = sum(ms for _, ms in rows)
     print(f"\nsum of parts: {total:.1f} ms")
 
-    # 5. the real whole-graph decode, with and without the reconstruction
-    #    tail (localizes graph-composition overhead: scheduling/fusion
-    #    differences between the parts above and the one fused graph)
+    # 5. the real decode pipeline (chain of shared executables since the
+    #    round-3 determinism refactor), with and without the reconstruction
+    #    tail
     imgs = np.clip(rng.normal(128, 40, (B, 768, 512, 3)), 0,
                    255).astype(np.uint8)
     res = codec.compress(imgs, quality_ind=0)
@@ -180,15 +180,18 @@ def main():
     yw, yb = codec._upload_words(ry, y_cap)
     zw, zb = codec._upload_words(rz, z_cap)
     jax.block_until_ready((yw, zw))
+    from dc_vic_tpu.codec.container import HeaderHandler
+    esc_dense = any(bool(HeaderHandler.decode(r["string_list"][0])
+                         ["esc_dense"]) for r in res)
     for recon_on in (False, True):
-        fn = codec._get_jit(
-            ("tpu_dec", B, zH, zW, yH, yW, recon_on, not recon_on,
-             codec.lanes),
-            lambda: codec._decode_tpu_fn(B, zH, zW, yH, yW, recon_on,
-                                         not recon_on, codec.lanes))
-        g = jax.jit(lambda p, a, bb, c, d: fn(p, a, bb, c, d, b1, b1))
-        dt = timeit(g, [(params, zw, zb, yw, yb)], iters=5)
-        print(f"whole decode graph (recon={recon_on}): {dt*1e3:8.1f} ms",
+        def g(zw_, zb_, yw_, yb_):
+            out = codec._decode_pipeline(
+                zw_, zb_, yw_, yb_, B, zH, zW, yH, yW, codec.lanes,
+                sparse_esc=not esc_dense, recon=recon_on, b1=b1, b2=b1)
+            return (out["img"] if recon_on else out["y_hat"],
+                    out["consumed_words"])
+        dt = timeit(g, [(zw, zb, yw, yb)], iters=5)
+        print(f"decode pipeline (recon={recon_on}): {dt*1e3:8.1f} ms",
               flush=True)
 
     dev = codec.bench_device_cycle(imgs, quality_ind=0)

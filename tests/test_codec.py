@@ -250,3 +250,25 @@ def test_bench_device_cycle_api(built):
         0, 256, (2, 96, 80, 3), dtype=np.uint8)
     out = c.bench_device_cycle(imgs, beta_rate=1.0, beta_vq=1.0, iters=1)
     assert out["enc_s"] > 0 and out["dec_s"] > 0
+
+
+def test_build_indexes_matches_searchsorted():
+    """The gather-free compare-reduce build_indexes must agree with
+    jnp.searchsorted(side='left') — i.e. with compressai's per-entry
+    subtraction — everywhere, including exact table-boundary scales (a
+    wrong index silently desynchronizes encoder and decoder)."""
+    from dc_vic_tpu.codec.gaussian import GaussianConditional, get_scale_table
+    g = GaussianConditional()
+    table = np.asarray(get_scale_table(), np.float32)
+    rng = np.random.default_rng(0)
+    scales = np.concatenate([
+        table,                              # exact boundaries
+        np.nextafter(table, -np.inf),       # just below each entry
+        np.nextafter(table, np.inf),        # just above each entry
+        rng.uniform(0.0, 300.0, 4096).astype(np.float32),
+        [0.0, 1e-9, float(g.scale_bound), 1e9],
+    ]).astype(np.float32)
+    got = np.asarray(g.build_indexes(jnp.asarray(scales), table))
+    bounded = np.maximum(scales, np.float32(g.scale_bound))
+    want = np.searchsorted(table[:-1], bounded, side="left")
+    np.testing.assert_array_equal(got, want)
