@@ -531,6 +531,7 @@ class Minnen20HyperEncoder(nn.Module):
 
 
 class _HyperDecoderBlock(nn.Module):
+    """Entropy-critical: precision="high" (see SliceTransform note)."""
     out_ch: int
     dtype: Optional[Dtype] = None
 
@@ -538,9 +539,12 @@ class _HyperDecoderBlock(nn.Module):
     def __call__(self, z):
         from ..nn.layers import DeconvTorch
         d = self.dtype
-        z = nn.relu(DeconvTorch(192, 5, dtype=d, name="conv1")(z))
-        z = nn.relu(DeconvTorch(256, 5, dtype=d, name="conv2")(z))
-        return Conv(self.out_ch, 3, dtype=d, name="conv3")(z)
+        z = nn.relu(DeconvTorch(192, 5, dtype=d, precision="high",
+                                name="conv1")(z))
+        z = nn.relu(DeconvTorch(256, 5, dtype=d, precision="high",
+                                name="conv2")(z))
+        return Conv(self.out_ch, 3, dtype=d, precision="high",
+                    name="conv3")(z)
 
 
 @HYPERDECODER_REGISTRY.register()
@@ -571,6 +575,7 @@ class Balle18HyperEncoder(nn.Module):
 
 @HYPERDECODER_REGISTRY.register()
 class Balle18HyperDecoder(nn.Module):
+    """Entropy-critical: precision="high" (see SliceTransform note)."""
     hyper_out_ch: int = 256
     dtype: Optional[Dtype] = None
 
@@ -578,9 +583,9 @@ class Balle18HyperDecoder(nn.Module):
     def __call__(self, z):
         from ..nn.layers import DeconvTorch
         d = self.dtype
-        z = nn.relu(DeconvTorch(192, 5, dtype=d)(z))
-        z = nn.relu(DeconvTorch(256, 5, dtype=d)(z))
-        return Conv(self.hyper_out_ch, 3, dtype=d)(z)
+        z = nn.relu(DeconvTorch(192, 5, dtype=d, precision="high")(z))
+        z = nn.relu(DeconvTorch(256, 5, dtype=d, precision="high")(z))
+        return Conv(self.hyper_out_ch, 3, dtype=d, precision="high")(z)
 
 
 # =============================================================================
@@ -589,6 +594,11 @@ class Balle18HyperDecoder(nn.Module):
 # =============================================================================
 
 class SliceTransform(nn.Module):
+    """Entropy-critical (mu/sigma/LRP): convs run at precision="high" —
+    a faithful f32 decomposition instead of JAX's default single-pass bf16 multiplies (max rel err ~2^-21 vs ~2^-8). These
+    values gate rANS indexes; bf16-mantissa rounding here is both an
+    accuracy loss vs the f32 reference and the divergence amplifier behind
+    the round-3 stream desync (PERF.md §8b). Planes are tiny (yH x yW)."""
     out_ch: int
     mid_ch: Tuple[int, int] = (224, 128)  # reference widths (ms2020)
     dtype: Optional[Dtype] = None
@@ -596,9 +606,12 @@ class SliceTransform(nn.Module):
     @nn.compact
     def __call__(self, x):
         d = self.dtype
-        x = nn.relu(Conv(self.mid_ch[0], 5, dtype=d, name="conv1")(x))
-        x = nn.relu(Conv(self.mid_ch[1], 5, dtype=d, name="conv2")(x))
-        return Conv(self.out_ch, 3, dtype=d, name="conv3")(x)
+        x = nn.relu(Conv(self.mid_ch[0], 5, dtype=d, precision="high",
+                         name="conv1")(x))
+        x = nn.relu(Conv(self.mid_ch[1], 5, dtype=d, precision="high",
+                         name="conv2")(x))
+        return Conv(self.out_ch, 3, dtype=d, precision="high",
+                    name="conv3")(x)
 
 
 @CONTEXTMODEL_REGISTRY.register()

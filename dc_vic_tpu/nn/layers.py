@@ -94,10 +94,19 @@ class Conv(nn.Module):
     stride: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    # precision="highest" forces true-f32 MXU passes (bf16x6). JAX's DEFAULT
+    # multiplies f32 operands in bf16 — fine for the big reconstruction
+    # stacks, but on the entropy-parameter path (hyperdecoder, ChARM slice
+    # transforms) that costs real mantissa bits on values that gate rANS
+    # indexes AND makes the result more sensitive to per-executable lowering
+    # choices (PERF.md §8b). Those modules pass "highest"; the planes there
+    # are tiny, so the extra passes are noise in the profile.
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         if (self.kernel == 3 and self.stride == 1
+                and self.precision is None
                 and _use_pallas_conv3(x, self.features)):
             return PallasConv3(self.features, use_bias=self.use_bias,
                                dtype=self.dtype, name="Conv_0")(x)
@@ -107,6 +116,7 @@ class Conv(nn.Module):
             padding=conv_pad(self.kernel),
             use_bias=self.use_bias,
             dtype=self.dtype,
+            precision=self.precision,
         )(x)
 
 
@@ -121,6 +131,7 @@ class DeconvTorch(nn.Module):
     features: int
     kernel: int = 5
     dtype: Optional[Dtype] = None
+    precision: Optional[str] = None  # see Conv.precision
 
     @nn.compact
     def __call__(self, x):
@@ -133,6 +144,7 @@ class DeconvTorch(nn.Module):
             padding=[pad, pad],
             input_dilation=(2, 2),
             dtype=self.dtype,
+            precision=self.precision,
         )(x)
         return y
 
