@@ -242,10 +242,20 @@ class Codec:
             return [(s * sc, (s + 1) * sc) for s in range(self.num_slices)]
         return [(0, Cy)]
 
-    def _tpu_pack(self, y_sym, y_idx, z_sym):
+    def _tpu_pack(self, y_sym, y_idx, z_sym, clipped: bool = True):
         """Traced: device-entropy-encode the symbol planes into two packed
         word buffers (per-image y and z streams; ChARM slice sections chained
-        inside each y stream — one flush per stream, not per section)."""
+        inside each y stream — one flush per stream, not per section).
+        clipped=True (the dispatch default): symbols are clipped to +-32000
+        by the codec symbolizers, which makes tier-2 escape words possible
+        only when a row's offset pushes the zigzag past 2^16 — never for
+        realistic tables/symbols — so the tier-2 slots are statically absent
+        (halves the compaction scatter, the encode's largest cost). If one
+        WOULD fire, the escape counts come back poisoned (CLIP_POISON) and
+        _finalize_tpu re-packs through the dense clipped=False executable —
+        exact, just slower, and only ever compiled on pathological inputs.
+        Escape maxima come straight from the encode (with_esc_counts) —
+        recomputing them cost ~100 ms of re-gathers."""
         B, yH, yW, Cy = y_sym.shape
         sections = []
         L0 = None
@@ -257,7 +267,9 @@ class Codec:
             assert L == L0, "ChARM slices share geometry, so lanes must match"
             sections.append((sec_s.reshape(B, -1, L),
                              sec_i.reshape(B, -1, L)))
-        vals, mask = encode_stream(sections, self._dtable("y"))
+        vals, mask, y_esc = encode_stream(sections, self._dtable("y"),
+                                          clipped=clipped,
+                                          with_esc_counts=True)
         packed_y, y_counts = pack_streams(vals, mask)
         Cz = z_sym.shape[-1]
         zN = z_sym.shape[1] * z_sym.shape[2] * Cz
@@ -265,25 +277,12 @@ class Codec:
         z_idx = jnp.broadcast_to(
             jnp.arange(Cz, dtype=jnp.int32),
             (B,) + z_sym.shape[1:3] + (Cz,)).reshape(B, -1, Lz)
-        v, m = encode_sections(z_sym.reshape(B, -1, Lz), z_idx,
-                               self._dtable("z"))
+        v, m, z_esc = encode_sections(z_sym.reshape(B, -1, Lz), z_idx,
+                                      self._dtable("z"), clipped=clipped,
+                                      with_esc_counts=True)
         packed_z, z_counts = pack_streams(v, m)
-        return packed_y, y_counts, packed_z, z_counts
-
-    def _esc_max(self, sym, idx, table: DeviceCdfTable, n_sections: int):
-        """Traced: per-image max per-section escape count for symbol plane
-        sym/idx [B, H, W, C] with C split into n_sections channel ranges
-        (the y stream's ChARM slices; 1 for z). The decoder compares it to
-        ops/rans_device.esc_cap() to pick the sparse or dense escape
-        epilogue (container header dense-escape flag)."""
-        B, H, W, C = sym.shape
-        off = jnp.take(table.offsets, idx, mode="clip")
-        maxv = jnp.take(table.maxv, idx, mode="clip")
-        value = sym - off
-        esc = (value < 0) | (value >= maxv)
-        per_sec = jnp.sum(esc.reshape(B, H, W, n_sections, C // n_sections),
-                          axis=(1, 2, 4), dtype=jnp.int32)
-        return jnp.max(per_sec, axis=1)  # [B]
+        return (packed_y, y_counts, packed_z, z_counts,
+                jnp.max(y_esc, axis=1), jnp.max(z_esc, axis=1))
 
     def _pack_fn(self):
         """tpu-format encode tail: (y symbols, cdf indexes, z symbols) ->
@@ -293,15 +292,8 @@ class Codec:
             y_sym = y_sym16.astype(jnp.int32)
             y_idx = y_idx8.astype(jnp.int32)
             z_sym = z_sym16.astype(jnp.int32)
-            packed_y, y_counts, packed_z, z_counts = self._tpu_pack(
-                y_sym, y_idx, z_sym)
-            Cz = z_sym.shape[-1]
-            z_idx = jnp.broadcast_to(jnp.arange(Cz, dtype=jnp.int32),
-                                     z_sym.shape)
-            y_escmax = self._esc_max(
-                y_sym, y_idx, self._dtable("y"),
-                len(self._tpu_y_sections(y_sym.shape[-1])))
-            z_escmax = self._esc_max(z_sym, z_idx, self._dtable("z"), 1)
+            (packed_y, y_counts, packed_z, z_counts,
+             y_escmax, z_escmax) = self._tpu_pack(y_sym, y_idx, z_sym)
             # pred bits are EXACT here: the packed word counts are the
             # stream sizes actually written (x16 bits, incl. flush).
             y_bits = y_counts.astype(jnp.float32) * 16.0
@@ -325,6 +317,22 @@ class Codec:
                 y_escmax.astype(jnp.float32),
                 z_escmax.astype(jnp.float32)])
             return dict(stats=stats, packed_y=packed_y, packed_z=packed_z)
+        return jax.jit(f)
+
+    def _pack_dense_fn(self):
+        """Pathological-input retry: re-encode the stashed symbol planes
+        through the dense (clipped=False) pack, which carries the tier-2
+        escape slots. Dispatched by _finalize_tpu only when the fast clipped
+        pack reports CLIP_POISON — so this executable is never compiled on
+        realistic streams."""
+        def f(y_sym16, y_idx8, z_sym16):
+            (packed_y, y_counts, packed_z, z_counts,
+             y_escmax, z_escmax) = self._tpu_pack(
+                y_sym16.astype(jnp.int32), y_idx8.astype(jnp.int32),
+                z_sym16.astype(jnp.int32), clipped=False)
+            return dict(packed_y=packed_y, y_counts=y_counts,
+                        packed_z=packed_z, z_counts=z_counts,
+                        y_escmax=y_escmax, z_escmax=z_escmax)
         return jax.jit(f)
 
     def _coalesce_fn(self):
@@ -491,9 +499,11 @@ class Codec:
         tail = (self._get_jit(("pack",), self._pack_fn) if tpu_dev
                 else self._get_jit(("coalesce",), self._coalesce_fn))
         out = dict(tail(y_syms, y_idxs, z_sym, y_hat))
-        # full-width fallback planes (host formats, pathological |sym|>=512)
+        # full-width fallback planes (host formats, pathological |sym|>=512,
+        # and the tier-2 dense re-pack in _finalize_tpu)
         out["y_symbols"] = y_syms
         out["y_indexes"] = y_idxs
+        out["z_symbols"] = z_sym
         if debug:
             out.update(y_hat=y_hat, z_hat=z_hat)
         return out
@@ -698,6 +708,22 @@ class Codec:
         z_counts = f32_join(stats[2 * B + 2 + 2 * B: 2 * B + 2 + 4 * B])
         y_escmax = stats[2 * B + 2 + 4 * B: 2 * B + 2 + 5 * B].astype(np.int64)
         z_escmax = stats[2 * B + 2 + 5 * B: 2 * B + 2 + 6 * B].astype(np.int64)
+        from ..ops.rans_device import CLIP_POISON
+        if (y_escmax >= CLIP_POISON).any() or (z_escmax >= CLIP_POISON).any():
+            # a tier-2 escape fired under the fast clipped pack (possible
+            # only for pathological symbols whose zigzag exceeds 2^16) — the
+            # fast stream would be missing its tier-2 words, so re-pack
+            # through the dense executable (exact; see _tpu_pack)
+            dense = self._get_jit(("pack_dense",), self._pack_dense_fn)(
+                out["y_symbols"], out["y_indexes"], out["z_symbols"])
+            y_counts = np.asarray(dense["y_counts"]).astype(np.int64)
+            z_counts = np.asarray(dense["z_counts"]).astype(np.int64)
+            y_bits = y_counts.astype(np.float64) * 16.0
+            z_bits = z_counts.astype(np.float64) * 16.0
+            y_escmax = np.asarray(dense["y_escmax"]).astype(np.int64)
+            z_escmax = np.asarray(dense["z_escmax"]).astype(np.int64)
+            out = dict(out, packed_y=dense["packed_y"],
+                       packed_z=dense["packed_z"])
         esc_dense = self._esc_dense_flags(handle, y_escmax, z_escmax)
         if (y_counts.sum() > out["packed_y"].shape[0]
                 or z_counts.sum() > out["packed_z"].shape[0]):

@@ -141,8 +141,11 @@ class VQAttnBlock(nn.Module):
         k = Conv(C, 1, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
         v = Conv(C, 1, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
         from ..ops.attention import flash_attention
-        # the Pallas kernel accumulates in f32; run it in f32 regardless of
-        # the surrounding conv compute dtype
+        # f32 operands: measured on-chip at the hot shape [16,6144,512] the
+        # kernel runs 11.9 ms in f32 vs 12.6 ms in bf16 (scripts/
+        # scan_attn_ab.py) — it is not MXU-bound, so the lower-precision
+        # operands buy nothing and cost ~3e-3 relative error. Keep f32
+        # regardless of the surrounding conv compute dtype.
         out = flash_attention(
             (q * (C ** -0.5)).astype(jnp.float32), k.astype(jnp.float32),
             v.astype(jnp.float32)).reshape(B, H, W, C)
@@ -162,14 +165,52 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest x2 then 3x3 conv."""
+    """Nearest x2 then 3x3 conv (ref: ldm model.py Upsample).
+
+    DCVIC_FOLDED_UPSAMPLE=1 switches to an exact fold: ONE 2x2 conv emitting
+    all four output parities, interleaved depth-to-space (on the
+    nearest-upsampled grid every 3x3 window covers only a 2x2 block of
+    distinct source pixels, so the 3x3 kernel folds to four 2x2 kernels —
+    2.25x fewer MACs, no [2H,2W,C] intermediate). OFF by default: measured
+    on-chip at bench geometry the whole reconstruction graph is ~4% SLOWER
+    with the fold (555.7 vs 532.5 ms) — XLA already fuses the repeat into
+    the conv's input indexing, and the fold's four shifted output slices +
+    interleave cost more than the saved MACs (same lesson as the Pallas
+    conv dispatch, docs/PERF.md section 5). Parameter tree is identical
+    either way (conv/Conv_0/{kernel,bias})."""
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        import os
         B, H, W, C = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return Conv(C, 3, dtype=self.dtype, name="conv")(x)
+        if os.environ.get("DCVIC_FOLDED_UPSAMPLE", "0") != "1":
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return Conv(C, 3, dtype=self.dtype, name="conv")(x)
+        kernel, bias = _ConvParams(C, C, 3, name="conv")()
+        dt = self.dtype or x.dtype
+        # fold in f32 (param dtype) before casting to the compute dtype
+        r0 = jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0)  # even rows
+        r1 = jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0)  # odd rows
+        k4 = jnp.concatenate(
+            [jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1)   # even cols
+             for kr in (r0, r1)] +
+            [jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1)   # odd cols
+             for kr in (r0, r1)],
+            axis=-1)  # [2, 2, C, 4C] ordered (ee, oe, eo, oo) by (dw, dh)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(dt)
+        o = jax.lax.conv_general_dilated(
+            xp, k4.astype(dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, 4C]
+        # parity (dh, dw) output pixel (2i+dh, 2j+dw) reads padded rows
+        # {i+dh, i+1+dh} / cols {j+dw, j+1+dw} = conv output (i+dh, j+dw)
+        oee = o[:, :H, :W, 0 * C:1 * C]
+        ooe = o[:, 1:, :W, 1 * C:2 * C]
+        oeo = o[:, :H, 1:, 2 * C:3 * C]
+        ooo = o[:, 1:, 1:, 3 * C:4 * C]
+        y = jnp.stack([jnp.stack([oee, oeo], axis=3),
+                       jnp.stack([ooe, ooo], axis=3)], axis=2)
+        return y.reshape(B, 2 * H, 2 * W, C) + bias.astype(dt)
 
 
 class VQEncoder(nn.Module):

@@ -120,13 +120,36 @@ class Conv(nn.Module):
         )(x)
 
 
+class _DeclConvParams(nn.Module):
+    """Declares nn.Conv's parameter tree (kernel HWIO + bias) without
+    computing — lets alternate compute paths share the checkpoint layout."""
+    cin: int
+    cout: int
+    k: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.k, self.k, self.cin, self.cout)),
+                self.param("bias", nn.initializers.zeros, (self.cout,)))
+
+
 class DeconvTorch(nn.Module):
     """Equivalent of torch ConvTranspose2d(k, stride=2, padding=p, output_padding=1).
 
-    Implemented as an input-dilated convolution: lhs_dilation=2 with per-side
-    padding (k-1-p, k-1-p+1). Doubles spatial dims for even inputs. Converter
-    rule for torch weights: flip kernel spatially and transpose (I,O)->(O,I)
-    before the OIHW->HWIO relayout.
+    Implemented as an input-dilated convolution (lhs_dilation=2 with
+    per-side padding (k-1-p, k-1-p+1)). DCVIC_SUBPIXEL_DECONV=1 switches to
+    the exact sub-pixel decomposition — the four output parities as plain
+    VALID convs with the kernel's parity sub-slices (k=5 -> 3x3 / 3x2 /
+    2x3 / 2x2 taps, i.e. only the dilated form's nonzero products),
+    interleaved depth-to-space. OFF by default: despite 4x fewer nominal
+    MACs, the on-chip A/B at bench geometry measured the reconstruction
+    graph ~3% SLOWER with it (550.3 vs 532.5 ms) — XLA's lowering already
+    skips the zero-stuffed positions, and the four output slices +
+    interleave add traffic (docs/PERF.md section 5). Identical parameter
+    tree and math either way. Doubles spatial dims for even inputs.
+    Converter rule for torch weights: flip kernel spatially and transpose
+    (I,O)->(O,I) before the OIHW->HWIO relayout.
     """
     features: int
     kernel: int = 5
@@ -135,7 +158,12 @@ class DeconvTorch(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         k = self.kernel
+        # the parity/offset mapping below is derived for k=5 (p even);
+        # every deconv in the model zoo is k=5
+        if k == 5 and os.environ.get("DCVIC_SUBPIXEL_DECONV", "0") == "1":
+            return self._subpixel(x)
         p = (k - 1) // 2
         pad = (k - 1 - p, k - 1 - p + 1)
         y = nn.Conv(
@@ -147,6 +175,35 @@ class DeconvTorch(nn.Module):
             precision=self.precision,
         )(x)
         return y
+
+    def _subpixel(self, x):
+        # Derivation (per axis, odd k, p=(k-1)//2, output_padding=1): with
+        # xd = dilate2(x) padded (k-1-p, k-p), out[2i+d] = sum_t W[t] *
+        # x[(2i+d+t-p-... )] reduces to: even outputs tap x[i-(p//2)..] with
+        # kernel rows W[0::2], odd outputs with rows W[1::2]. For k=5 that is
+        # even: taps {i-1, i, i+1} x W[0,2,4]; odd: taps {i, i+1} x W[1,3].
+        B, H, W_, C = x.shape
+        kernel, bias = _DeclConvParams(C, self.features, self.kernel,
+                                       name="Conv_0")()
+        dt = self.dtype or x.dtype
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(dt)
+        ke, ko = kernel[0::2], kernel[1::2]          # rows: even 3, odd 2
+        parts = {}
+        for (dh, kr) in (("e", ke), ("o", ko)):
+            for (dw, kk) in (("e", kr[:, 0::2]), ("o", kr[:, 1::2])):
+                o = jax.lax.conv_general_dilated(
+                    xp, kk.astype(dt), (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=self.precision)
+                # odd parities read one position later (taps {i, i+1} are
+                # padded rows {i+1, i+2} = VALID output row i+1)
+                o = o[:, 1:, :, :] if dh == "o" else o[:, :H, :, :]
+                o = o[:, :, 1:, :] if dw == "o" else o[:, :, :W_, :]
+                parts[dh + dw] = o
+        y = jnp.stack([jnp.stack([parts["ee"], parts["eo"]], axis=3),
+                       jnp.stack([parts["oe"], parts["oo"]], axis=3)], axis=2)
+        return (y.reshape(B, 2 * H, 2 * W_, self.features)
+                + bias.astype(dt))
 
 
 class PixelShuffleUp(nn.Module):

@@ -45,8 +45,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
     alpha = jnp.exp(m_prev - m_new)   # [BQ, 1]
 
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    # cast the f32 probabilities to v's dtype for the PV product: with bf16
+    # inputs both MXU passes run at full rate (f32 multiplies run at ~1/4);
+    # accumulation stays f32 either way
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     m_ref[:] = m_new
 
     @pl.when(kb == pl.num_programs(2) - 1)

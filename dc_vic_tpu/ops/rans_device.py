@@ -60,6 +60,17 @@ ESC_FLAG = 1 << 30        # escape marker bit in the dense value table
 ESC_POISON = 1 << 26      # cursor poison when a section overflows esc_cap
 
 
+def scan_unroll() -> int:
+    """Unroll factor for the sequential decode scan (DCVIC_SCAN_UNROLL,
+    default 4). The scan's per-step cost is dominated by while-loop
+    bookkeeping, not the per-symbol table gather (PERF.md §4); unrolling
+    replicates the body inside each loop iteration, amortizing that fixed
+    cost. Purely an execution-schedule knob — decoded symbols are identical
+    for any value."""
+    import os
+    return max(1, int(os.environ.get("DCVIC_SCAN_UNROLL", "4")))
+
+
 def esc_cap(n_symbols: int) -> int:
     """Static escape-table capacity for the sparse decode epilogue. TPU
     random gathers serialize at ~9 ns/element regardless of table size
@@ -138,11 +149,27 @@ class DeviceCdfTable:
         self.maxv = jnp.asarray((lengths - 2).astype(np.int32))
 
 
+def _row_lookup(idx: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free per-element lookup into a tiny per-row table: TPU random
+    gathers serialize per element (~8-25 ns each — ~100 ms per full symbol
+    plane), but for a table with only `rows` entries a broadcast-compare +
+    fused reduction is a few dozen VPU ops per element and never leaves the
+    fused loop (same trick as GaussianConditional.build_indexes, PERF.md
+    section 8b). Matches jnp.take(..., mode='clip') semantics."""
+    rows = vec.shape[0]
+    idx = jnp.clip(idx, 0, rows - 1)
+    r = jnp.arange(rows, dtype=idx.dtype)
+    return jnp.sum(jnp.where(idx[..., None] == r, vec, 0),
+                   axis=-1, dtype=vec.dtype)
+
+
 def _precompute(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable):
     """Per-symbol escape handling + (start, freq) lookup, fully vectorized
-    (the only sequential part of rANS is the state recurrence)."""
-    off = jnp.take(table.offsets, idx, mode="clip")
-    maxv = jnp.take(table.maxv, idx, mode="clip")
+    (the only sequential part of rANS is the state recurrence). The offset
+    and maxv lookups are gather-free (_row_lookup); the (start, freq) pair
+    gather is the one irreducible per-symbol table access."""
+    off = _row_lookup(idx, table.offsets)
+    maxv = _row_lookup(idx, table.maxv)
     value = sym - off
     esc = (value < 0) | (value >= maxv)
     raw = jnp.where(value < 0, -2 * value - 1,
@@ -171,11 +198,23 @@ def coded_bits(sym: jnp.ndarray, idx: jnp.ndarray,
     return jnp.sum(bits + extra, axis=1)
 
 
+CLIP_POISON = 1 << 20     # esc-count poison: tier-2 fired under clipped=True
+
+
 def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
-                x0: jnp.ndarray):
+                x0: jnp.ndarray, clipped: bool = False):
     """Reverse-encode one section starting from lane states x0 [B, L].
-    Returns (x_fin, vals [B, K], mask [B, K]) where vals/mask hold the
-    section's [renorm][tier-1][tier-2] words (no flush)."""
+    Returns (x_fin, vals [B, K], mask [B, K], n_esc [B]) where vals/mask
+    hold the section's [renorm][tier-1][tier-2] words (no flush) and n_esc
+    is the per-image escape count.
+
+    clipped=True: caller guarantees |sym| <= 32000, so every escape zigzag
+    fits one tier-1 word (raw <= ~64002 < TIER1_MARKER) and the tier-2 slots
+    are omitted from vals/mask — the compaction scatter cost is per-UPDATE,
+    and tier-2 was half of the worst-case capacity. The emitted stream is
+    byte-identical (tier-2 never fires for such symbols); if the guarantee
+    is violated, n_esc is poisoned with CLIP_POISON so the driver raises
+    instead of writing a stream missing its tier-2 words."""
     B, n, L = sym.shape
     start, freq, esc, raw = _precompute(sym, idx, table)
     tr = lambda a: a.transpose(1, 0, 2)  # [n, B, L] scan layout
@@ -191,13 +230,21 @@ def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
 
     # reverse=True: symbols are encoded last-to-first (rANS requirement) and
     # the stacked outputs still land at their forward step index.
-    x_fin, (w_main, m_main) = jax.lax.scan(body, x0, xs_in, reverse=True)
+    x_fin, (w_main, m_main) = jax.lax.scan(body, x0, xs_in, reverse=True,
+                                           unroll=scan_unroll())
 
     # side channel, (step, lane) order: tier-1 then tier-2
     big = esc & (raw >= TIER1_MARKER)
     esc_f = esc.reshape(B, -1)
     big_f = big.reshape(B, -1)
     raw_f = raw.reshape(B, -1)
+    n_esc = jnp.sum(esc_f, axis=1, dtype=jnp.int32)
+    if clipped:
+        n_esc = n_esc + CLIP_POISON * jnp.any(big_f, axis=1).astype(jnp.int32)
+        t1 = raw_f.astype(jnp.uint16)
+        vals = jnp.concatenate([tr(w_main).reshape(B, -1), t1], axis=1)
+        mask = jnp.concatenate([tr(m_main).reshape(B, -1), esc_f], axis=1)
+        return x_fin, vals, mask, n_esc
     t1 = jnp.where(big_f, TIER1_MARKER, raw_f).astype(jnp.uint16)
     t2 = jnp.stack([(raw_f & jnp.uint32(0xFFFF)).astype(jnp.uint16),
                     (raw_f >> 16).astype(jnp.uint16)],
@@ -206,11 +253,11 @@ def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
 
     vals = jnp.concatenate([tr(w_main).reshape(B, -1), t1, t2], axis=1)
     mask = jnp.concatenate([tr(m_main).reshape(B, -1), esc_f, m2], axis=1)
-    return x_fin, vals, mask
+    return x_fin, vals, mask, n_esc
 
 
-def encode_stream(sections, table: DeviceCdfTable
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def encode_stream(sections, table: DeviceCdfTable, clipped: bool = False,
+                  with_esc_counts: bool = False):
     """Encode one multi-section stream with CHAINED lane states: sections is
     a list of (sym [B, n_i, L], idx [B, n_i, L]) in decode order, all with
     the same B and L. Lane states carry across sections (encoded in reverse
@@ -218,33 +265,48 @@ def encode_stream(sections, table: DeviceCdfTable
     section — at production lane counts the per-section flush was a ~5-20%
     rate tax at the reference's low-bpp operating points.
 
+    clipped: see _encode_one — halves the compaction updates for |sym| <=
+    32000 inputs (stream bytes unchanged). with_esc_counts: additionally
+    return per-image per-section escape counts [B, n_sections] int32
+    (forward section order) — free here, ~100 ms of re-gathers if computed
+    separately from the symbol planes.
+
     Layout: [2L flush][sec0 renorm|tier-1|tier-2][sec1 renorm|...]...
-    Returns (vals [B, K], mask [B, K]); pack with pack_streams()."""
+    Returns (vals [B, K], mask [B, K][, esc_counts]); pack with
+    pack_streams()."""
     B, _, L = sections[0][0].shape
     x = jnp.full((B, L), RANS_L, jnp.uint32)
     blocks = []
+    escs = []
     for sym, idx in reversed(sections):
         assert sym.shape[0] == B and sym.shape[2] == L, (
             "all sections of one stream must share (B, L)")
-        x, vals, mask = _encode_one(sym, idx, table, x)
+        x, vals, mask, n_esc = _encode_one(sym, idx, table, x,
+                                           clipped=clipped)
         blocks.append((vals, mask))
+        escs.append(n_esc)
     blocks.reverse()
+    escs.reverse()
     flush = jnp.stack([(x & jnp.uint32(0xFFFF)).astype(jnp.uint16),
                        (x >> 16).astype(jnp.uint16)],
                       axis=-1).reshape(B, 2 * L)
     vals = jnp.concatenate([flush] + [v for v, _ in blocks], axis=1)
     mask = jnp.concatenate([jnp.ones((B, 2 * L), bool)]
                            + [m for _, m in blocks], axis=1)
+    if with_esc_counts:
+        return vals, mask, jnp.stack(escs, axis=1)
     return vals, mask
 
 
 def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
-                    table: DeviceCdfTable
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    table: DeviceCdfTable, clipped: bool = False,
+                    with_esc_counts: bool = False):
     """Encode one single-section stream: sym/idx [B, n, L] int32 (equivalent
     to encode_stream with one section). Returns (vals [B, K] uint16, mask
-    [B, K] bool); K = 2L + 4nL is the static worst case."""
-    return encode_stream([(sym, idx)], table)
+    [B, K] bool[, esc_counts]); K = 2L + 4nL is the static worst case
+    (2L + 2nL with clipped=True)."""
+    return encode_stream([(sym, idx)], table, clipped=clipped,
+                         with_esc_counts=with_esc_counts)
 
 
 def pack_streams(vals: jnp.ndarray, mask: jnp.ndarray
@@ -318,7 +380,8 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
         x = jnp.where(need, (x << 16) | w, x)
         return (x, cur + pos[:, -1]), cum.astype(jnp.uint16)
 
-    (x_fin, cursor), cums = jax.lax.scan(body, (x0, cursor), tr(tidx_rows))
+    (x_fin, cursor), cums = jax.lax.scan(body, (x0, cursor), tr(tidx_rows),
+                                         unroll=scan_unroll())
 
     # symbol values: one big gather OUTSIDE the scan (not latency-chained)
     cums = tr(cums)                                   # [B, n, L]

@@ -169,3 +169,28 @@ def test_vqgan_downsample_semantics():
                                   "bias": jnp.asarray(b)}}}
     out = np.asarray(m.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_subpixel_deconv_matches_dilated():
+    """DeconvTorch's sub-pixel parity decomposition must equal the
+    input-dilated reference formulation (same params) to float tolerance."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from dc_vic_tpu.nn.layers import DeconvTorch
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 7, 5, 6), jnp.float32)
+    m = DeconvTorch(10, 5)
+    params = m.init(jax.random.PRNGKey(8), x)
+
+    dilated = m.apply(params, x)
+    os.environ["DCVIC_SUBPIXEL_DECONV"] = "1"
+    try:
+        sub = m.apply(params, x)
+    finally:
+        del os.environ["DCVIC_SUBPIXEL_DECONV"]
+    assert sub.shape == dilated.shape == (2, 14, 10, 10)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(dilated),
+                               atol=1e-5)

@@ -104,3 +104,24 @@ def test_non_beta_non_charm_variant():
     out = jax.jit(lambda p, xx: spec.module.apply(p, xx, is_train=False))(params, x)
     assert out["fake_images"].shape == x.shape
     assert float(out["bpp"]) > 0
+
+
+def test_folded_upsample_matches_naive():
+    """Upsample's single-2x2-conv depth-to-space formulation must equal the
+    reference nearest-x2 + conv3x3 path (same params) to float tolerance."""
+    import os
+
+    from dc_vic_tpu.models.vqgan import Upsample
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 7, 5, 32), jnp.float32)
+    params = Upsample().init(jax.random.PRNGKey(4), x)
+
+    naive = Upsample().apply(params, x)
+    os.environ["DCVIC_FOLDED_UPSAMPLE"] = "1"
+    try:
+        folded = Upsample().apply(params, x)
+    finally:
+        del os.environ["DCVIC_FOLDED_UPSAMPLE"]
+    assert folded.shape == naive.shape == (2, 14, 10, 32)
+    assert float(jnp.max(jnp.abs(folded - naive))) < 1e-5

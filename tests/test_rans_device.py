@@ -309,3 +309,51 @@ def test_chained_stream_rate_overhead_vs_compressai():
     assert tpu_bytes <= 1.02 * cai_bytes, (
         f"tpu-format rate overhead too high: {tpu_bytes} vs "
         f"{cai_bytes} compressai bytes ({tpu_bytes / cai_bytes:.3f}x)")
+
+
+def test_clipped_encode_matches_dense_and_counts_escapes():
+    """The driver's clipped=True fast pack must emit byte-identical streams
+    to the dense encode for in-range (tier-1-only) escapes, and report the
+    same per-section escape counts it previously re-gathered (_esc_max)."""
+    table = _gaussian_table()
+    dt = DeviceCdfTable(table)
+    rng = np.random.default_rng(5)
+    B, n, L = 2, 64, 8
+    sym = rng.integers(-300, 300, (B, n, L)).astype(np.int32)  # escapes
+    idx = rng.integers(0, 4, (B, n, L)).astype(np.int32)
+    secs = [(jnp.asarray(sym), jnp.asarray(idx))] * 2
+
+    vd, md = encode_stream(secs, dt)
+    vc, mc, esc = encode_stream(secs, dt, clipped=True, with_esc_counts=True)
+    pd, cd = pack_streams(vd, md)
+    pc, cc = pack_streams(vc, mc)
+    assert np.array_equal(np.asarray(cd), np.asarray(cc))
+    total = int(np.asarray(cd).sum())
+    assert np.array_equal(np.asarray(pd)[:total], np.asarray(pc)[:total])
+
+    # escape counts match a direct count from the table
+    off = np.asarray(dt.offsets)[idx]
+    maxv = np.asarray(dt.maxv)[idx]
+    v = sym - off
+    want = ((v < 0) | (v >= maxv)).reshape(B, -1).sum(axis=1)
+    got = np.asarray(esc)
+    assert got.shape == (B, 2)
+    np.testing.assert_array_equal(got[:, 0], want)
+    np.testing.assert_array_equal(got[:, 1], want)
+
+
+def test_clipped_encode_poisons_on_tier2():
+    """A symbol whose escape zigzag needs two words (raw >= 2^16) under
+    clipped=True must poison the escape count so the driver re-packs dense
+    instead of emitting a stream missing its tier-2 words."""
+    from dc_vic_tpu.ops.rans_device import CLIP_POISON
+
+    table = _gaussian_table()
+    dt = DeviceCdfTable(table)
+    B, n, L = 1, 16, 4
+    sym = np.zeros((B, n, L), np.int32)
+    sym[0, 0, 0] = 50000  # zigzag 2*(50000-maxv) >= 2^16
+    idx = np.zeros((B, n, L), np.int32)
+    _, _, esc = encode_stream([(jnp.asarray(sym), jnp.asarray(idx))], dt,
+                              clipped=True, with_esc_counts=True)
+    assert int(np.asarray(esc)[0, 0]) >= CLIP_POISON
