@@ -115,8 +115,10 @@ class DCVICModel(nn.Module):
     dtype: Optional[Dtype] = None
     # Inference-time compute dtype for the FLOP-heavy conv stacks whose
     # outputs never need bit-reproducibility across graphs (VQGAN encode,
-    # ELIC analysis transform, hyper-ENcoder, fused VQGAN decode). The
-    # entropy-critical modules (hyperdecoder, ChARM context) stay in
+    # ELIC analysis AND synthesis transforms, hyper-ENcoder, Swin VQ
+    # estimator, fused VQGAN decode — the synthesis side consumes the
+    # already-decoded y_hat, so it can only affect pixels, not streams).
+    # The entropy-critical modules (hyperdecoder, ChARM context) stay in
     # self.dtype: their mu/sigma must match bit-exactly between the encode
     # and decode graphs or the stream corrupts. "bfloat16" is the TPU
     # deployment mode; None keeps everything in f32.
@@ -129,7 +131,7 @@ class DCVICModel(nn.Module):
         self.encoder = ENCODER_REGISTRY.get(self.encoder_type)(
             dtype=cd, name="encoder", **enc_cfg)
         self.decoder = DECODER_REGISTRY.get(self.decoder_type)(
-            dtype=self.dtype, name="decoder", **dec_cfg)
+            dtype=cd, name="decoder", **dec_cfg)
         self.hyperencoder = HYPERENCODER_REGISTRY.get(self.hyperencoder_type)(
             dtype=cd, name="hyperencoder",
             **dict(self.hyperencoder_cfg or {}))
@@ -146,7 +148,7 @@ class DCVICModel(nn.Module):
                 **dict(self.context_cfg or {}))
 
         self.vq_estimator = DualBlockSwinVqEstimator(
-            n_embed=self.n_embed, embed_dim=self.embed_dim, dtype=self.dtype,
+            n_embed=self.n_embed, embed_dim=self.embed_dim, dtype=cd,
             name="vq_estimator", **dict(self.vq_estimator_cfg or {}))
 
         # Frozen VQGAN prior: encoder/quantizer side...
