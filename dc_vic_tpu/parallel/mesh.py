@@ -33,9 +33,55 @@ def best_mesh_size(batch_size: int, n_devices: Optional[int] = None) -> int:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree across the mesh."""
+    """Fully replicate a pytree across the mesh, into FRESH buffers.
+
+    A jitted identity (not ``jax.device_put``) on purpose: device_put may
+    zero-copy alias the source buffers (it does on the CPU backend), and
+    the replicated state is donated by ``data_parallel_step`` — donating
+    an aliased buffer would delete the caller's original arrays out from
+    under it. The jit guarantees distinct output buffers, so the source
+    tree stays valid after the replicated copy is consumed.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    with jax.transfer_guard("allow"):
+        return jax.jit(lambda t: t, out_shardings=sharding)(tree)
+
+
+def fsdp_sharding_tree(tree: Any, mesh: Mesh, axis: str = DATA_AXIS,
+                       min_size: int = 1 << 14) -> Any:
+    """Per-leaf NamedShardings implementing ZeRO-3-style fully-sharded data
+    parallelism via GSPMD: every leaf with >= min_size elements is sharded
+    on its largest mesh-divisible dimension; small leaves (scalars, norm
+    params, rng keys) stay replicated. With these as the train state's
+    in/out shardings, params and both optimizer moments live SHARDED in
+    HBM (1/n per chip); XLA inserts the all-gather at each parameter use
+    and reduce-scatters the gradients — no hand-written collectives.
+    """
+    n = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if not shape or int(np.prod(shape)) < min_size:
+            return repl
+        best_dim, best = -1, 0
+        for d, s in enumerate(shape):
+            if s % n == 0 and s > best:
+                best_dim, best = d, s
+        if best_dim < 0:
+            return repl
+        spec = [None] * len(shape)
+        spec[best_dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(leaf, tree)
+
+
+def shard_state(tree: Any, mesh: Mesh, shardings: Any) -> Any:
+    """Place a state pytree according to `shardings`, into fresh buffers
+    (jitted identity — same donation-safety rationale as `replicate`)."""
+    with jax.transfer_guard("allow"):
+        return jax.jit(lambda t: t, out_shardings=shardings)(tree)
 
 
 def shard_batch(tree: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
@@ -46,17 +92,25 @@ def shard_batch(tree: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 
 
 def data_parallel_step(step_fn: Callable, mesh: Mesh,
-                       axis: str = DATA_AXIS) -> Callable:
+                       axis: str = DATA_AXIS,
+                       state_shardings: Any = None) -> Callable:
     """Wrap a (state, batch) -> (state, metrics) step for SPMD dp execution:
-    state replicated, batch sharded on its leading axis. XLA partitions the
-    graph and inserts the cross-chip reductions (grad all-reduce) over ICI.
+    state replicated (or FSDP-sharded when `state_shardings` from
+    `fsdp_sharding_tree` is given), batch sharded on its leading axis. XLA
+    partitions the graph and inserts the cross-chip collectives (grad
+    all-reduce; param all-gather + grad reduce-scatter under FSDP) over ICI.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
+    state = repl if state_shardings is None else state_shardings
+    # donate the train state: params + two optimizer moments are the
+    # dominant HBM residents, and without donation XLA keeps the old and
+    # new state live across the step (an extra full copy + copy traffic)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state, data),
+        out_shardings=(state, repl),
+        donate_argnums=(0,),
     )
 
 

@@ -193,10 +193,17 @@ class Trainer:
                                    self.aux_tx, policy,
                                    lpips_fn=self.lpips_fn)
 
-        from ..parallel.mesh import best_mesh_size
+        from ..parallel.mesh import best_mesh_size, fsdp_sharding_tree
         self.mesh = make_mesh(best_mesh_size(self.batch_size))
-        self.step_fn = data_parallel_step(step_fn, self.mesh)
-        self.state = replicate(self.state, self.mesh)
+        # fsdp: true in the yaml shards params + optimizer moments over the
+        # mesh (ZeRO-3 via GSPMD shardings) instead of replicating them —
+        # for models/optimizer states that outgrow a single chip's HBM.
+        self.state_shardings = (
+            fsdp_sharding_tree(self.state, self.mesh)
+            if opt.get("fsdp") and self.mesh.devices.size > 1 else None)
+        self.step_fn = data_parallel_step(
+            step_fn, self.mesh, state_shardings=self.state_shardings)
+        self.state = self._place_state(self.state)
 
         # resume / cross-exp load (ref: base_trainer.py:36-42)
         if opt.get("load_checkpoint"):
@@ -205,9 +212,20 @@ class Trainer:
             self._resume_same_exp(int(opt["start_iter"]))
         self.saver = Saver(self.paths.model_dir, opt.get("keep_step") or ())
 
+    def _place_state(self, state):
+        """Put a host/single-device state onto the mesh: replicated, or
+        FSDP-sharded when `fsdp: true` (fresh buffers either way — the
+        placed state is consumed by the donating step)."""
+        if self.state_shardings is not None:
+            from ..parallel.mesh import shard_state
+            return shard_state(state, self.mesh, self.state_shardings)
+        return replicate(state, self.mesh)
+
     def _set_loggers(self):
-        self.loss_csv = CSVLogger(self.paths.loss_csv_path,
-                                  ["iter", "total", "bpp", "distortion"])
+        loss_fields = ["iter", "total", "bpp", "distortion", "skipped"]
+        if self.gan:
+            loss_fields += ["adv", "d_loss"]
+        self.loss_csv = CSVLogger(self.paths.loss_csv_path, loss_fields)
         self.eval_csv = CSVLogger(self.paths.eval_csv_path,
                                   ["iter", "beta_rate", "beta_vq",
                                    "bpp", "psnr", "ms_ssim", "vq_acc"])
@@ -252,7 +270,7 @@ class Trainer:
         if self.gan and os.path.exists(dp):
             new_state = new_state.replace(
                 d_params=Saver.load(dp, host.d_params))
-        self.state = replicate(new_state, self.mesh)
+        self.state = self._place_state(new_state)
         self.logger.info(f"resumed {self.opt.get('exp')} at iter {start_iter}")
 
     @staticmethod
@@ -363,7 +381,7 @@ class Trainer:
         elif self.gan:
             self.logger.warning("discriminator NOT loaded")
 
-        self.state = replicate(new_state, self.mesh)
+        self.state = self._place_state(new_state)
 
     # ------------------------------------------------------------------
     def train_loop(self):

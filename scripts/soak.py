@@ -62,12 +62,126 @@ def rd_objective(bpp: float, psnr: float) -> float:
     return W_RATE * bpp + W_DIST * mse_01
 
 
+def run_gan_soak(args, repo, train_root, eval_root):
+    """Two-phase curriculum soak (docs/artifacts/soak_gan_config.yaml):
+    phase 1 trains the dual-beta model stage1_2-style; phase 2 cross-exp
+    loads it into a stage1_3-style GAN fine-tune (frozen entropy path,
+    DualBetaCond PatchGAN). Gates:
+      - phase 2 runs with ZERO NaN-skips,
+      - d_loss ends finite inside (0.05, 3.0) (vanilla-GAN equilibrium is
+        2*ln2 ~ 1.386; ~0 = D collapse, large = divergence),
+      - eval PSNR at the (max,max) beta corner degrades < 1.5 dB vs the
+        phase-1 handoff point,
+      - bpp at that corner moves < 10% (the entropy path is frozen; only
+        the aux quantile updates can drift the z rate).
+    """
+    import csv
+
+    from dc_vic_tpu.train.trainer import build_trainer
+    from dc_vic_tpu.utils.config import load_config
+    from dc_vic_tpu.utils.paths import PathHandler
+
+    cfg_path = args.config or os.path.join(repo, "docs", "artifacts",
+                                           "soak_gan_config.yaml")
+    iters = args.iters
+    corner_key = None  # filled from the eval csv (max beta corner)
+
+    def corner_rows(eval_csv):
+        with open(eval_csv) as f:
+            rows = [r for r in csv.DictReader(f)]
+        betas = sorted({(float(r["beta_rate"]), float(r["beta_vq"]))
+                        for r in rows})
+        bmax = betas[-1]
+        return [r for r in rows
+                if (float(r["beta_rate"]), float(r["beta_vq"])) == bmax]
+
+    # ---------------- phase 1: dual-beta RD ----------------
+    opt = load_config(cfg_path, is_train=True)
+    opt["ckpt_root"] = os.path.join(args.work, "checkpoint")
+    opt["total_iter"] = iters
+    opt["eval_step"] = args.eval_step
+    opt["save_step"] = iters
+    opt["keep_step"] = [iters]
+    opt["dataset"]["train_dataset"]["root_dir"] = train_root
+    opt["dataset"]["eval_dataset"]["root_dir"] = eval_root
+    p1_paths = PathHandler(opt["ckpt_root"], opt["exp"])
+    p1_paths.make_job_dir()
+    build_trainer(opt).train_loop()
+    p1 = corner_rows(p1_paths.eval_csv_path)[-1]
+    p1_psnr, p1_bpp = float(p1["psnr"]), float(p1["bpp"])
+    print(f"phase 1 handoff (max-beta corner): psnr={p1_psnr:.2f} "
+          f"bpp={p1_bpp:.4f}")
+
+    # ---------------- phase 2: GAN fine-tune, cross-exp load -------------
+    opt2 = load_config(cfg_path, is_train=True)
+    opt2["exp"] = "soak_gan_p2"
+    opt2["ckpt_root"] = os.path.join(args.work, "checkpoint")
+    opt2["total_iter"] = iters
+    opt2["eval_step"] = args.eval_step
+    opt2["save_step"] = iters
+    opt2["keep_step"] = [iters]
+    opt2["dataset"]["train_dataset"]["root_dir"] = train_root
+    opt2["dataset"]["eval_dataset"]["root_dir"] = eval_root
+    opt2["trainer"] = {"type": "DualBetaCondGanDistortionVqCodeTrainer"}
+    loss2 = {k: v for k, v in dict(opt2["loss"]).items() if k != "rate_loss"}
+    loss2["gan_loss"] = {"type": "VanillaGANLoss", "loss_weight": 0.01}
+    opt2["loss"] = loss2
+    opt2["load_checkpoint"] = {
+        "path": p1_paths.checkpoint_path("comp_model", iters),
+        "load_optimizer": False, "load_scheduler": False,
+        "load_discriminator": False, "strict": True,
+    }
+    p2_paths = PathHandler(opt2["ckpt_root"], opt2["exp"])
+    p2_paths.make_job_dir()
+    build_trainer(opt2).train_loop()
+
+    # ---------------- gates ----------------
+    with open(p2_paths.loss_csv_path) as f:
+        lrows = [r for r in csv.DictReader(f)]
+    skipped = sum(float(r.get("skipped") or 0) for r in lrows)
+    d_last = float(lrows[-1]["d_loss"])
+    p2 = corner_rows(p2_paths.eval_csv_path)[-1]
+    p2_psnr, p2_bpp = float(p2["psnr"]), float(p2["bpp"])
+
+    print(f"phase 2 end: d_loss={d_last:.4f} skipped={skipped:.0f} "
+          f"psnr={p2_psnr:.2f} (phase1 {p1_psnr:.2f}) "
+          f"bpp={p2_bpp:.4f} (phase1 {p1_bpp:.4f})")
+    gates = {
+        "zero_nan_skips": skipped == 0,
+        "d_loss_sane": np.isfinite(d_last) and 0.05 < d_last < 3.0,
+        "psnr_holds": p2_psnr >= p1_psnr - 1.5,
+        "bpp_frozen": abs(p2_bpp - p1_bpp) <= 0.10 * max(p1_bpp, 1e-6),
+    }
+    print("gates:", gates)
+
+    if not args.no_artifacts:
+        art = os.path.join(repo, "docs", "artifacts")
+        shutil.copy(p2_paths.eval_csv_path,
+                    os.path.join(art, "soak_gan_eval.csv"))
+        shutil.copy(p2_paths.loss_csv_path,
+                    os.path.join(art, "soak_gan_loss.csv"))
+        with open(os.path.join(art, "soak_gan_verdict.txt"), "w") as f:
+            f.write(f"phase1: psnr={p1_psnr:.2f} bpp={p1_bpp:.4f}\n"
+                    f"phase2: psnr={p2_psnr:.2f} bpp={p2_bpp:.4f} "
+                    f"d_loss={d_last:.4f} skipped={skipped:.0f}\n"
+                    f"gates: {gates}\n")
+    if not args.keep_work:
+        shutil.rmtree(args.work, ignore_errors=True)
+    if not all(gates.values()):
+        raise SystemExit(f"GAN SOAK GATES FAILED: {gates}")
+    print("gan soak gates passed")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=3000)
     p.add_argument("--eval_step", type=int, default=500)
     p.add_argument("--work", type=str, default="/tmp/soak_r3")
     p.add_argument("--keep_work", action="store_true")
+    p.add_argument("--gan", action="store_true",
+                   help="run the two-phase RD->GAN curriculum soak "
+                        "(docs/artifacts/soak_gan_config.yaml) instead of "
+                        "the stage1_1 RD soak")
     p.add_argument("--config", type=str, default=None,
                    help="override the soak config (default: the committed "
                         "mid-size docs/artifacts/soak_stage1_1_config.yaml)")
@@ -92,6 +206,10 @@ def main():
     repo = os.path.join(os.path.dirname(__file__), "..")
     train_root, eval_root = make_synthetic_dataset(
         os.path.join(args.work, "datasets"))
+
+    if args.gan:
+        run_gan_soak(args, repo, train_root, eval_root)
+        return
 
     cfg_path = args.config or os.path.join(repo, "docs", "artifacts",
                                            "soak_stage1_1_config.yaml")

@@ -157,6 +157,68 @@ def test_data_parallel_rd_step(setup):
     assert int(s1.step) == 1
 
 
+def test_replicate_is_copy_safe_under_donation(setup):
+    """`data_parallel_step` donates the state pytree; `replicate` must hand
+    it FRESH buffers (jitted identity, not device_put, which zero-copy
+    aliases on some backends) so the caller's source arrays survive the
+    donation. Regression: module-scoped fixture params were deleted by the
+    first donated dp step, failing every later test in the module."""
+    spec, params, x = setup
+    mesh = make_mesh(8)
+
+    def step(s, b):
+        return jax.tree.map(lambda a: a * 1, s), {"m": b.sum()}
+
+    src = {"w": jnp.arange(16, dtype=jnp.float32)}
+    rep = replicate(src, mesh)
+    out, _ = data_parallel_step(step, mesh)(rep, shard_batch(x, mesh))
+    # the replicated copy was donated...
+    with pytest.raises(RuntimeError):
+        np.asarray(rep["w"])
+    # ...but the source tree is untouched
+    np.testing.assert_array_equal(np.asarray(src["w"]),
+                                  np.arange(16, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(out["w"]),
+                                  np.arange(16, dtype=np.float32))
+
+
+def test_fsdp_step_matches_replicated(setup):
+    """FSDP (ZeRO-3 via GSPMD state shardings) is a pure layout change: the
+    sharded-state RD step must produce the same loss and updated params as
+    the replicated dp step, with params/moments actually sharded in HBM."""
+    from dc_vic_tpu.parallel import fsdp_sharding_tree, shard_state
+    spec, params, x = setup
+    losses = {k: build_loss(v) for k, v in LOSSES.items()}
+    policy = BetaPolicy(use_beta=True)
+    mesh = make_mesh(8)
+    batch = shard_batch(x, mesh)
+
+    def run(fsdp):
+        state, g_tx, aux_tx = _make_state(spec, params, jax.random.PRNGKey(9))
+        step = make_rd_step(spec.module, losses, g_tx, aux_tx, policy)
+        if fsdp:
+            shardings = fsdp_sharding_tree(state, mesh, min_size=1 << 8)
+            pstep = data_parallel_step(step, mesh,
+                                       state_shardings=shardings)
+            s1, m1 = pstep(shard_state(state, mesh, shardings), batch)
+            n_sharded = sum(not leaf.sharding.is_fully_replicated
+                            for leaf in jax.tree.leaves(s1))
+            assert n_sharded > 0, "no state leaf was actually sharded"
+        else:
+            s1, m1 = data_parallel_step(step, mesh)(
+                replicate(state, mesh), batch)
+        return jax.device_get(s1.params), float(m1["total"])
+
+    p_rep, t_rep = run(fsdp=False)
+    p_fsdp, t_fsdp = run(fsdp=True)
+    assert abs(t_rep - t_fsdp) < 1e-3 * max(1.0, abs(t_rep)), (t_rep, t_fsdp)
+    flat_r = traverse_util.flatten_dict(p_rep["params"])
+    flat_f = traverse_util.flatten_dict(p_fsdp["params"])
+    for k in flat_r:
+        np.testing.assert_allclose(flat_r[k], flat_f[k], rtol=2e-4,
+                                   atol=2e-5, err_msg="/".join(k))
+
+
 def test_beta_weight_policy_semantics():
     """Loss-weight policies match the reference trainer
     (dual_cond_rate_distortion_vq_code_trainer.py:71-78): 'linear' is
