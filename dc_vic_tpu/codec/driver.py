@@ -103,7 +103,7 @@ class Codec:
 
     def __init__(self, spec: "CompModelSpec", params,
                  stream_format: str = "tpu", encode_backend: str = "host",
-                 lanes: int = 128):
+                 lanes: int = 128, mesh=None, data_axis: str = "data"):
         assert stream_format in ("tpu", "compressai"), stream_format
         assert encode_backend in ("host", "device"), encode_backend
         assert lanes & (lanes - 1) == 0 and 1 <= lanes <= 4096, lanes
@@ -112,6 +112,22 @@ class Codec:
         self.lanes = lanes
         self.spec = spec
         self.module = spec.module
+        # Multi-chip serving: with a jax.sharding.Mesh the codec runs its
+        # device pipelines SPMD data-parallel — params, CDF LUTs, and stream
+        # word buffers replicated (gathers from them stay device-local);
+        # every batch-major tensor sharded on dim 0, so XLA partitions the
+        # conv stacks and decode scans across chips with no collectives on
+        # the hot path. Batch size must divide by the mesh size. Streams are
+        # bit-exact per codec CONFIGURATION (see module doc): a mesh codec's
+        # executables are different lowerings than a single-chip codec's, so
+        # decode tpu-format streams on the same mesh shape that encoded them
+        # (the compressai format has no such coupling — host-coded).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._repl = NamedSharding(mesh, PartitionSpec())
+            self._bsh = NamedSharding(mesh, PartitionSpec(data_axis))
+            params = jax.device_put(params, self._repl)
         self.params = params
         self.stream_format = stream_format
         # tpu-format encode can run on the host (C coder — overlaps device
@@ -150,6 +166,34 @@ class Codec:
         if not self._dtables:
             self._dtables["y"] = DeviceCdfTable(self.y_table)
             self._dtables["z"] = DeviceCdfTable(self.z_table)
+            if self.mesh is not None:
+                # LUTs are captured as jit constants: commit them replicated
+                # so they co-locate with mesh-sharded arguments
+                for t in self._dtables.values():
+                    for name in ("pair_flat", "adv_flat", "val_flat",
+                                 "offsets", "maxv"):
+                        setattr(t, name,
+                                jax.device_put(getattr(t, name), self._repl))
+
+    def _put_batch(self, x):
+        """Host array whose dim 0 is batch(-aligned) -> device. Under a mesh
+        this commits it batch-sharded (dim 0 must divide by the mesh size —
+        for flat [B*X] buffers whole images land on each device since X is
+        constant per image)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._bsh)
+
+    def _put_repl(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._repl)
+
+    def _shard0(self):
+        """out_shardings pin for a pipeline-entry executable's batch-major
+        outputs (None on single device). Downstream executables inherit
+        shardedness through GSPMD propagation from their operands."""
+        return None if self.mesh is None else self._bsh
 
     def _get_jit(self, key, make):
         if key not in self._jit:
@@ -176,7 +220,9 @@ class Codec:
             return self.module.apply(
                 params, x_flat.reshape(shape), b1, b2,
                 method=self.module.encode_front)
-        return jax.jit(f)
+        # pipeline entry: pin batch-sharded outputs under a mesh (downstream
+        # executables inherit shardedness from their operands)
+        return jax.jit(f, out_shardings=self._shard0())
 
     def _front_from_vq_fn(self):
         def f(params, x, lat, idx, b1, b2):
@@ -391,7 +437,9 @@ class Codec:
                 self._dtable("z"), sparse_esc=sparse_esc)
             return (z_sym.reshape(B, zH, zW, Cz).astype(jnp.int16),
                     z_cursor)
-        return jax.jit(f)
+        # decode-pipeline entry: words/base are replicated, so pin the
+        # batch-sharded outputs explicitly under a mesh
+        return jax.jit(f, out_shardings=self._shard0())
 
     def _ysec_fn(self, first: bool, B, yH, yW, sc, lanes: int,
                  sparse_esc: bool):
@@ -441,8 +489,10 @@ class Codec:
         padded[:n] = words
         pad = self._get_jit(("wpad", padded.shape[0], cap),
                             lambda: jax.jit(lambda w: jnp.zeros(
-                                (cap,), jnp.uint16).at[:w.shape[0]].set(w)))
-        return pad(jnp.asarray(padded)), jnp.asarray(base)
+                                (cap,), jnp.uint16).at[:w.shape[0]].set(w),
+                                out_shardings=(None if self.mesh is None
+                                               else self._repl)))
+        return pad(self._put_repl(padded)), self._put_repl(base)
 
     def _tpu_caps(self, B, yH, yW, zH, zW, lanes: int):
         """Static worst-case word capacities for the y and z buffers."""
@@ -522,6 +572,10 @@ class Codec:
             assert beta_rate is not None and beta_vq is not None
             quality_ind = 0
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            assert B % n == 0, (
+                f"mesh codec: batch {B} must divide by the mesh size {n}")
         images = np.asarray(images)
         if images.dtype != np.uint8:
             images = images.astype(np.float32)
@@ -538,13 +592,14 @@ class Codec:
         if max(x.shape[1], x.shape[2]) > SPLIT_RESOLUTION:
             lat, idx = self._split_vq_encode(x)
             front = self._get_jit(("front_vq",), self._front_from_vq_fn)
-            y, z_sym = front(self.params, jnp.asarray(x), lat, idx, b1, b2)
+            y, z_sym = front(self.params, self._put_batch(x), lat, idx,
+                             b1, b2)
         else:
             front = self._get_jit(("front", x.shape),
                                   lambda: self._front_fn(x.shape))
             y, z_sym = front(
                 self.params,
-                jnp.asarray(np.ascontiguousarray(x).reshape(-1)), b1, b2)
+                self._put_batch(np.ascontiguousarray(x).reshape(-1)), b1, b2)
         out = self._encode_tail(y, z_sym, tpu_dev, debug)
         # Start d2h only for the fused buffers finalize reads (everything
         # else — y_symbols/y_indexes fallback planes, debug latents — stays
@@ -827,7 +882,7 @@ class Codec:
 
         hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
                               self._hyper_decode_fn)
-        hyper_out, _ = hyper(self.params, jnp.asarray(z_sym))
+        hyper_out, _ = hyper(self.params, self._put_batch(z_sym))
 
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
@@ -846,7 +901,7 @@ class Codec:
                 for b, s in enumerate(y_strs)])
             dq = self._get_jit(("ydq",), self._y_dequant_fn)
             y_hat = dq(self.params,
-                       jnp.asarray(sym.astype(np.int16)), means)
+                       self._put_batch(sym.astype(np.int16)), means)
 
         from .tiling import SPLIT_RESOLUTION
         if max(H, W) > SPLIT_RESOLUTION:
@@ -999,7 +1054,7 @@ class Codec:
         front = self._get_jit(("front", x.shape),
                               lambda: self._front_fn(x.shape))
         x_dev = jax.block_until_ready(
-            jnp.asarray(np.ascontiguousarray(x).reshape(-1)))
+            self._put_batch(np.ascontiguousarray(x).reshape(-1)))
 
         def run_enc():
             y, z_sym = front(self.params, x_dev, b1, b2)
@@ -1108,7 +1163,7 @@ class Codec:
             .reshape(zH, zW, Cz) for s in string_lists]).astype(np.int16)
         hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
                               self._hyper_decode_fn)
-        hyper_out, z_hat = hyper(self.params, jnp.asarray(z_sym))
+        hyper_out, z_hat = hyper(self.params, self._put_batch(z_sym))
         if self.module.use_charm:
             y_hat = np.asarray(self._charm_decode(
                 hyper_out, [s[2] for s in string_lists], B, yH, yW, Cy))
@@ -1121,7 +1176,8 @@ class Codec:
                 .reshape(yH, yW, Cy) for b, s in enumerate(string_lists)])
             dq = self._get_jit(("ydq",), self._y_dequant_fn)
             y_hat = np.asarray(dq(self.params,
-                                  jnp.asarray(sym.astype(np.int16)), means))
+                                  self._put_batch(sym.astype(np.int16)),
+                                  means))
         z_hat = np.asarray(z_hat)
         ok = True
         for b, r in enumerate(results):
@@ -1140,7 +1196,7 @@ class Codec:
         vq_tile = self._get_jit(("vqtile", (B, ENC_WINDOW)), self._vq_tile_fn)
         T = tiles.shape[0] // B
         outs = [np.asarray(vq_tile(self.params,
-                                   jnp.asarray(tiles[k * B:(k + 1) * B])))
+                                   self._put_batch(tiles[k * B:(k + 1) * B])))
                 for k in range(T)]
         df = 8
         h = stitch_tiles(
@@ -1149,7 +1205,7 @@ class Codec:
             [t // df for t in tops], [l // df for l in lefts],
             ENC_WINDOW // df, ENC_STRIDE // df)
         quant = self._get_jit(("vqquant", h.shape), self._vq_quantize_fn)
-        return quant(self.params, jnp.asarray(h))
+        return quant(self.params, self._put_batch(h))
 
     def _split_reconstruct(self, y_hat, b1, b2, B, padH, padW):
         """Overlap-tiled reconstruction for >1024px outputs: 32-cell y windows
@@ -1165,7 +1221,7 @@ class Codec:
         T = tiles.shape[0] // B
         px = DEC_WINDOW_Y * self.y_stride
         outs = [np.asarray(recon(self.params,
-                                 jnp.asarray(tiles[k * B:(k + 1) * B]),
+                                 self._put_batch(tiles[k * B:(k + 1) * B]),
                                  b1, b2)).reshape(B, px, px, 3)
                 for k in range(T)]
         return stitch_tiles(
@@ -1196,5 +1252,5 @@ class Codec:
             sf = self._get_jit(("slice_s", i, (B, yH, yW)),
                                lambda i=i: self._slice_step_fn(i))
             y_prev, mu, idx = sf(self.params, hyper_out, y_prev,
-                                 jnp.asarray(sym.astype(np.int16)), mu)
+                                 self._put_batch(sym.astype(np.int16)), mu)
         return y_prev
