@@ -82,13 +82,81 @@ class PallasConv3(nn.Module):
         return y
 
 
+def _use_int8_conv(x, features: int) -> bool:
+    """Gate for the int8 MXU dispatch (DCVIC_INT8_CONV=1, TPU only).
+
+    v5e runs int8xint8->int32 convs on the MXU's double-rate path: the
+    chained-dependency probe (scripts/int8_conv_probe.py, docs/PERF.md
+    section 10) measured 207-269 TOP/s vs 102-146 TF/s bf16 on the recon
+    hot shapes — 1.3-2x wall-time even with the f32 dequant epilogue a
+    real quantized block needs. Stream safety mirrors codec_dtype=bf16:
+    every entropy-parameter conv (hyperdecoder, ChARM slice transforms)
+    passes precision="highest"/"high" and Conv only routes here when
+    precision is None, so quantization can only perturb pixels, never
+    coded symbols. Wide lane-aligned planes only — narrow convs are
+    dispatch-bound and the quant/dequant passes would dominate.
+
+    Opt-in EXPERIMENT, not a deployment mode: the on-chip quality probe
+    (scripts/int8_quality_probe.py) measured 22.6 dB recon-vs-recon PSNR
+    for post-training dynamic quantization — per-layer error compounds
+    through ~30 conv layers to the codec's own distortion magnitude.
+    Deployable int8 needs QAT/calibration on trained weights."""
+    import os
+    if os.environ.get("DCVIC_INT8_CONV") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    B, H, W, C = x.shape
+    return (C % 128 == 0 and features % 128 == 0
+            and min(C, features) >= 128 and B * H * W >= 16384)
+
+
+class Int8Conv3(nn.Module):
+    """3x3 SAME conv computed on the int8 MXU path, with nn.Conv-compatible
+    parameter names/shapes (kernel HWIO + bias) so checkpoints interchange
+    freely with the f32/bf16 paths.
+
+    Dynamic symmetric quantization: activations per-tensor (one max-abs
+    reduction — same cost class as the GroupNorm reductions already
+    adjacent in the ResnetBlock), weights per-output-channel. No zero
+    point, so SAME zero-padding is exact in the quantized domain. The
+    int32 accumulator is dequantized in f32 and bias is applied there."""
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from jax import lax
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, self.features))
+        xf = x.astype(jnp.float32)
+        ax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
+        xq = jnp.clip(jnp.round(xf * (127.0 / ax)), -127, 127)
+        kf = kernel.astype(jnp.float32)
+        aw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12)
+        kq = jnp.clip(jnp.round(kf * (127.0 / aw)), -127, 127)
+        y = lax.conv_general_dilated(
+            xq.astype(jnp.int8), kq.astype(jnp.int8), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (ax * aw * (1.0 / (127.0 * 127.0)))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype or x.dtype)
+
+
 class Conv(nn.Module):
     """3x3/5x5/1x1 conv with torch-style symmetric padding (NHWC).
 
     With DCVIC_PALLAS_CONV=1, 3x3 stride-1 convs on wide-channel planes
     dispatch to the Pallas direct kernel on TPU (bit-identical parameter
-    tree either way). Default is XLA's lowering — faster in-graph, see
-    _use_pallas_conv3."""
+    tree either way). With DCVIC_INT8_CONV=1, the same class of convs
+    dispatches to the quantized int8 MXU path instead (pixels-only; see
+    _use_int8_conv). Default is XLA's bf16/f32 lowering."""
     features: int
     kernel: int = 3
     stride: int = 1
@@ -110,6 +178,11 @@ class Conv(nn.Module):
                 and _use_pallas_conv3(x, self.features)):
             return PallasConv3(self.features, use_bias=self.use_bias,
                                dtype=self.dtype, name="Conv_0")(x)
+        if (self.kernel == 3 and self.stride == 1
+                and self.precision is None
+                and _use_int8_conv(x, self.features)):
+            return Int8Conv3(self.features, use_bias=self.use_bias,
+                             dtype=self.dtype, name="Conv_0")(x)
         return nn.Conv(
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),

@@ -148,3 +148,49 @@ def test_dispatch_param_tree_identical():
     t2 = jax.tree.map(lambda a: (a.shape, a.dtype), pallas_params)
     assert jax.tree_util.tree_structure(t1) == jax.tree_util.tree_structure(t2)
     assert t1 == t2
+
+def test_int8_conv_quantization_accuracy():
+    """Int8Conv3 approximates the f32 conv: per-tensor activation +
+    per-channel weight symmetric quantization should land within ~1.5%
+    relative error on well-conditioned inputs, with an identical
+    parameter tree (checkpoints interchange with the f32/bf16 paths)."""
+    from flax import linen as nn
+
+    from dc_vic_tpu.nn.layers import Conv, Int8Conv3
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 128)), jnp.float32)
+    ref_conv = Conv(128, 3)
+    params = ref_conv.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_conv.apply(params, x))
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return Int8Conv3(128, name="Conv_0")(x)
+
+    q_params = Wrap().init(jax.random.PRNGKey(0), x)
+    t1 = jax.tree.map(lambda a: (a.shape, a.dtype), params)
+    t2 = jax.tree.map(lambda a: (a.shape, a.dtype), q_params)
+    assert jax.tree_util.tree_structure(t1) == \
+        jax.tree_util.tree_structure(t2)
+    assert t1 == t2
+
+    out = np.asarray(Wrap().apply(params, x))
+    err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert err < 0.015, f"int8 quantization error too large: {err:.4f}"
+
+
+def test_int8_dispatch_gate():
+    """DCVIC_INT8_CONV routes only on TPU — never on the CPU test mesh —
+    and only for wide lane-aligned planes."""
+    import os
+
+    from dc_vic_tpu.nn.layers import _use_int8_conv
+    x = jnp.zeros((16, 96, 64, 512))
+    os.environ["DCVIC_INT8_CONV"] = "1"
+    try:
+        assert not _use_int8_conv(x, 512)  # CPU backend in tests
+    finally:
+        del os.environ["DCVIC_INT8_CONV"]
+    assert not _use_int8_conv(x, 512)
