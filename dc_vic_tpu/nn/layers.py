@@ -89,12 +89,20 @@ def _use_int8_conv(x, features: int) -> bool:
     chained-dependency probe (scripts/int8_conv_probe.py, docs/PERF.md
     section 10) measured 207-269 TOP/s vs 102-146 TF/s bf16 on the recon
     hot shapes — 1.3-2x wall-time even with the f32 dequant epilogue a
-    real quantized block needs. Stream safety mirrors codec_dtype=bf16:
-    every entropy-parameter conv (hyperdecoder, ChARM slice transforms)
-    passes precision="highest"/"high" and Conv only routes here when
-    precision is None, so quantization can only perturb pixels, never
-    coded symbols. Wide lane-aligned planes only — narrow convs are
+    real quantized block needs. Stream safety: every entropy-parameter
+    conv (hyperdecoder, ChARM slice transforms) passes precision="high"
+    and Conv only routes here when precision is None, so streams stay
+    SELF-CONSISTENT (encode and decode derive identical mu/sigma and the
+    roundtrip stays bit-exact) — but the gate also reaches the analysis
+    transforms, so enabling it changes y/z and therefore the coded
+    symbols vs the unquantized encoder (the quality probe measures that
+    stream delta). Wide lane-aligned planes only — narrow convs are
     dispatch-bound and the quant/dequant passes would dominate.
+
+    The env var is read at TRACE time: set it before the first jit trace
+    (before constructing/using a Codec or trainer); a live Codec caches
+    executables per shape, so flipping it mid-process yields mixed
+    dispatch — build a new Codec to change the mode.
 
     Opt-in EXPERIMENT, not a deployment mode: the on-chip quality probe
     (scripts/int8_quality_probe.py) measured 22.6 dB recon-vs-recon PSNR
@@ -116,11 +124,14 @@ class Int8Conv3(nn.Module):
     parameter names/shapes (kernel HWIO + bias) so checkpoints interchange
     freely with the f32/bf16 paths.
 
-    Dynamic symmetric quantization: activations per-tensor (one max-abs
-    reduction — same cost class as the GroupNorm reductions already
-    adjacent in the ResnetBlock), weights per-output-channel. No zero
-    point, so SAME zero-padding is exact in the quantized domain. The
-    int32 accumulator is dequantized in f32 and bias is applied there."""
+    Dynamic symmetric quantization: activations per-SAMPLE (one max-abs
+    reduction over H/W/C per image — same cost class as the GroupNorm
+    reductions already adjacent in the ResnetBlock; per-sample rather
+    than per-batch so one outlier image cannot degrade its batchmates'
+    quantization and an image's reconstruction is independent of batch
+    composition), weights per-output-channel. No zero point, so SAME
+    zero-padding is exact in the quantized domain. The int32 accumulator
+    is dequantized in f32 and bias is applied there."""
     features: int
     use_bias: bool = True
     dtype: Optional[Dtype] = None
@@ -132,7 +143,8 @@ class Int8Conv3(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, C, self.features))
         xf = x.astype(jnp.float32)
-        ax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
+        ax = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3),
+                                 keepdims=True), 1e-12)
         xq = jnp.clip(jnp.round(xf * (127.0 / ax)), -127, 127)
         kf = kernel.astype(jnp.float32)
         aw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12)

@@ -28,14 +28,26 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def chain_time(jfn, x0, iters):
-    """Run the compiled chained-loop executable once (warm) and once timed;
-    the final np.asarray is a real host fetch that forces execution."""
-    out = np.asarray(jfn(x0))  # warm (compile cached by caller's .lower)
+def chain_time(jfn, x_warm, x_timed, iters):
+    """Run the compiled chained-loop executable once warm and once timed —
+    on DISTINCT inputs, so an (executable, input)-keyed value cache cannot
+    serve the timed run from the warm run (the data-dependency chain
+    defeats lazy-skip but not a value cache). The final np.asarray is a
+    real host fetch that forces execution. Also times the warm run and
+    asserts the two are the same order of magnitude — a cache hit returns
+    in well under a millisecond and would trip the guard."""
     t0 = time.perf_counter()
-    out = np.asarray(jfn(x0))
+    out = np.asarray(jfn(x_warm))  # warm (compile cached by caller's .lower)
+    warm_dt = time.perf_counter() - t0
+    assert np.isfinite(out), "chain diverged; renorm is wrong"
+    t0 = time.perf_counter()
+    out = np.asarray(jfn(x_timed))
     dt = time.perf_counter() - t0
     assert np.isfinite(out), "chain diverged; renorm is wrong"
+    assert dt > 0.1 * warm_dt, (
+        f"timed run ({dt*1e3:.2f} ms) is >10x faster than the warm run "
+        f"({warm_dt*1e3:.2f} ms) on a distinct input — value-cache "
+        "artifact; reading is not trustworthy")
     return dt / iters
 
 
@@ -75,13 +87,14 @@ def main():
         sc = jnp.asarray(rng.uniform(0.9, 1.1, (Cout,)), jnp.float32)
         # inputs generated ON DEVICE: a [16,768,512,128] bf16 upload is
         # 1.6 GB — tens of seconds over the tunnel, and not what we time
-        xf0 = jax.jit(
-            lambda k: jax.random.normal(k, (B, H, W, Cin), jnp.bfloat16)
-        )(jax.random.PRNGKey(0))
-        xi0 = jax.jit(
+        mk_f = jax.jit(
+            lambda k: jax.random.normal(k, (B, H, W, Cin), jnp.bfloat16))
+        mk_i = jax.jit(
             lambda k: jax.random.randint(
-                k, (B, H, W, Cin), -127, 128, jnp.int8)
-        )(jax.random.PRNGKey(1))
+                k, (B, H, W, Cin), -127, 128, jnp.int8))
+        # two distinct buffers per dtype: warm vs timed (value-cache guard)
+        xf0, xf1 = mk_f(jax.random.PRNGKey(0)), mk_f(jax.random.PRNGKey(2))
+        xi0, xi1 = mk_i(jax.random.PRNGKey(1)), mk_i(jax.random.PRNGKey(3))
 
         def bf16_loop(x):
             def body(_, c):
@@ -110,15 +123,16 @@ def main():
             y = lax.fori_loop(0, ITERS, body, x)
             return jnp.sum(y.astype(jnp.float32))
 
-        for name, fn, x0 in (("bf16", bf16_loop, xf0),
-                             ("int8", i8_loop, xi0),
-                             ("int8+dequant", i8_dequant_loop, xi0)):
+        for name, fn, x0, x1 in (("bf16", bf16_loop, xf0, xf1),
+                                 ("int8", i8_loop, xi0, xi1),
+                                 ("int8+dequant", i8_dequant_loop,
+                                  xi0, xi1)):
             try:
                 tc = time.perf_counter()
                 jfn = jax.jit(fn).lower(x0).compile()
                 print(f"  .. {name} compiled in "
                       f"{time.perf_counter()-tc:.0f}s", flush=True)
-                t = chain_time(jfn, x0, ITERS)
+                t = chain_time(jfn, x0, x1, ITERS)
                 unit = "TF/s" if name == "bf16" else "TOP/s"
                 print(f"[{B},{H},{W},{Cin}]->{Cout} {name:>13s}: "
                       f"{t*1e3:7.2f} ms {flops/t/1e12:6.1f} {unit}",

@@ -180,6 +180,14 @@ def test_int8_conv_quantization_accuracy():
     err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
     assert err < 0.015, f"int8 quantization error too large: {err:.4f}"
 
+    # Activation scales are per-sample: an outlier batchmate must not
+    # change another image's quantized output (codec determinism — a
+    # given image's reconstruction is independent of batch composition).
+    outlier = jnp.concatenate([x[:1], 1000.0 * x[1:2]], axis=0)
+    solo = np.asarray(Wrap().apply(params, x[:1]))
+    batched = np.asarray(Wrap().apply(params, outlier))
+    np.testing.assert_array_equal(batched[0], solo[0])
+
 
 def test_int8_dispatch_gate():
     """DCVIC_INT8_CONV routes only on TPU — never on the CPU test mesh —
