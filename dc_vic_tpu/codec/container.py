@@ -1,7 +1,19 @@
 """Bitstream header and .bin container (ref: src/utils/codec_utils.py).
 
-Header (6 bytes): H, W as uint16 LE; max(|y_hat|) as uint8 (written for
-format parity, unused on decode); quality index as uint8.
+Header: H, W as uint16 LE; a format byte; quality byte. The compressai
+stream format keeps the reference's exact 6-byte layout (byte 5 =
+max(|y_hat|), written for format parity, unused on decode). The tpu
+stream format (ours) appends a uint16 encode-batch field (8 bytes total);
+legacy 6-byte tpu headers from earlier rounds still parse (encode_batch
+reported as None).
+
+Quality byte bit 7 marks the device-coded 'tpu' stream format; bit 6
+marks a PORTABLE stream — one whose entropy parameters were derived
+through canonical per-image (batch-1) executables, so any decoder batch
+grouping reproduces them (codec/driver.py portable mode). Bits 0-5 are
+the quality index. Reference-produced streams have bits 6-7 clear and
+parse as non-portable compressai streams.
+
 Container: for each of [header, z_string, y_string], a uint32 LE length
 followed by the raw bytes.
 """
@@ -12,39 +24,52 @@ from typing import Dict, List, Tuple
 
 
 class HeaderHandler:
-    SIZE = 6
+    SIZE = 6  # compressai-format header size (reference parity)
 
     @staticmethod
     def encode(img_size: Tuple[int, int], max_abs_y: int, quality_ind: int,
                tpu_format: bool = False, lanes: int = 128,
-               esc_dense: bool = False) -> bytes:
+               esc_dense: bool = False, portable: bool = False,
+               encode_batch: int = 0) -> bytes:
         """quality byte bit 7 marks the device-coded 'tpu' stream format
-        (ops/rans_device.py); bits 0-6 are the quality index. For the tpu
-        format the third byte carries log2 of the interleave-lane cap in
-        bits 0-6 and, in bit 7, the dense-escape flag: set when some section
-        has more escapes than ops/rans_device.esc_cap() so the decoder must
-        use the dense (uncapped) escape epilogue. (The reference writes
-        max|y_hat| in this byte and never reads it back,
+        (ops/rans_device.py), bit 6 the portable-stream mode; bits 0-5 are
+        the quality index. For the tpu format the third byte carries log2
+        of the interleave-lane cap in bits 0-6 and, in bit 7, the
+        dense-escape flag: set when some section has more escapes than
+        ops/rans_device.esc_cap() so the decoder must use the dense
+        (uncapped) escape epilogue; two trailing bytes record the encode
+        batch size (the executable-lowering coupling a NON-portable decode
+        must match — driver.py; 0 = unknown). (The reference writes
+        max|y_hat| in byte 5 and never reads it back,
         src/utils/codec_utils.py)."""
         H, W = img_size
-        if not 0 <= int(quality_ind) < 128:
+        if not 0 <= int(quality_ind) < 64:
             raise ValueError(
-                f"quality_ind {quality_ind} out of range [0, 128): bit 7 of "
-                "the quality byte is the stream-format flag")
-        qb = int(quality_ind) | (0x80 if tpu_format else 0)
+                f"quality_ind {quality_ind} out of range [0, 64): bits 6-7 "
+                "of the quality byte are the portable/stream-format flags")
+        qb = (int(quality_ind) | (0x80 if tpu_format else 0)
+              | (0x40 if portable else 0))
         b3 = ((int(lanes).bit_length() - 1) | (0x80 if esc_dense else 0)
               if tpu_format else min(255, max(0, int(max_abs_y))))
-        return struct.pack("<HHBB", H, W, b3, qb)
+        head = struct.pack("<HHBB", H, W, b3, qb)
+        if tpu_format:
+            head += struct.pack("<H", min(0xFFFF, max(0, int(encode_batch))))
+        return head
 
     @staticmethod
     def decode(header: bytes) -> Dict:
         H, W, b3, qb = struct.unpack("<HHBB", header[:6])
         tpu = bool(qb & 0x80)
+        enc_b = None
+        if tpu and len(header) >= 8:
+            (enc_b,) = struct.unpack("<H", header[6:8])
         return {"img_size": (H, W),
                 "max_sample": None if tpu else b3,
                 "lanes": (1 << (b3 & 0x7F)) if tpu else None,
                 "esc_dense": bool(b3 & 0x80) if tpu else None,
-                "quality_ind": qb & 0x7F,
+                "quality_ind": qb & 0x3F,
+                "portable": bool(qb & 0x40),
+                "encode_batch": enc_b,
                 "stream_format": "tpu" if tpu else "compressai"}
 
 

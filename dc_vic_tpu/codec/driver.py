@@ -61,20 +61,23 @@ class PendingImages:
     uint8 buffer (fast-path d2h) and the host reshapes/crops on fetch. Fetch
     later to overlap the transfer with the next batch's compute."""
 
-    def __init__(self, data, meta, check=None):
+    def __init__(self, data, meta, check=None, keep=None):
         self._data = data      # device flat buffer, or host np [B,H,W,3]
         self._meta = meta      # (B, padH, padW, H, W) or None if already np
         self._check = check    # optional stream-integrity callback
+        self._keep = keep      # batch entries to keep (mesh batch padding)
 
     def fetch(self) -> np.ndarray:
         if self._check is not None:
             self._check()
             self._check = None
         if self._meta is None:
-            return self._data
-        B, padH, padW, H, W = self._meta
-        arr = np.asarray(self._data).reshape(B, padH, padW, 3)
-        return arr[:, :H, :W, :]
+            arr = self._data
+        else:
+            B, padH, padW, H, W = self._meta
+            arr = np.asarray(self._data).reshape(B, padH, padW, 3)
+            arr = arr[:, :H, :W, :]
+        return arr if self._keep is None else arr[:self._keep]
 
 
 def _pad_np(x: np.ndarray, stride: int = STRIDE) -> np.ndarray:
@@ -99,14 +102,38 @@ class Codec:
       * "compressai": byte-compatible with the reference's compressai.ans
         streams (ops/rans/rans.cpp); entropy coding on the host.
     Decode auto-detects the format from the header, so one Codec can read
-    both."""
+    both.
+
+    portable=True decouples stream decodability from the encoder's batch
+    configuration: every float that feeds symbolization (hyper_out,
+    per-slice mu, y_hat_prev, non-charm means) is derived through
+    CANONICAL per-image (batch-1) executables on BOTH encode and decode,
+    so a batch-16-encoded .bin decodes bit-exactly one image at a time or
+    in any grouping (the reference's per-image CPU decode has this
+    property for free, hyperprior_dc_vic_model.py:389-440). Costs O(B)
+    extra dispatches per batch on the entropy-parameter chain (the recon
+    and entropy scans stay batched). Non-portable streams record their
+    encode batch in the header and the decoder fails fast on a mismatch
+    instead of risking a silent lowering-dependent desync (PERF.md §8b).
+    The remaining coupling in BOTH modes is the platform: the canonical
+    executables must lower identically, i.e. same accelerator type and
+    same XLA/JAX software version on encode and decode."""
 
     def __init__(self, spec: "CompModelSpec", params,
                  stream_format: str = "tpu", encode_backend: str = "host",
-                 lanes: int = 128, mesh=None, data_axis: str = "data"):
+                 lanes: int = 128, mesh=None, data_axis: str = "data",
+                 portable: bool = False):
         assert stream_format in ("tpu", "compressai"), stream_format
         assert encode_backend in ("host", "device"), encode_backend
         assert lanes & (lanes - 1) == 0 and 1 <= lanes <= 4096, lanes
+        # Portable mode pins the param chain to single-device batch-1
+        # executables; a mesh codec's sharded lowerings are exactly the
+        # coupling it exists to avoid.
+        assert not (portable and mesh is not None), (
+            "portable=True is incompatible with a mesh codec: portable "
+            "streams are defined by single-device batch-1 canonical "
+            "executables (decode them on a non-mesh Codec)")
+        self.portable = portable
         # interleave-lane cap for tpu-format streams: rate (4 B/lane/section)
         # vs decode latency; recorded in the header so any codec can decode
         self.lanes = lanes
@@ -188,6 +215,15 @@ class Codec:
         if self.mesh is None:
             return jnp.asarray(x)
         return jax.device_put(np.asarray(x), self._repl)
+
+    def _mesh_pad(self, n: int) -> int:
+        """Batch size the device pipelines actually run at: under a mesh,
+        batches are padded up to the mesh-size multiple (pad entries are
+        repeats, dropped from the outputs)."""
+        if self.mesh is None:
+            return n
+        m = self.mesh.devices.size
+        return -(-n // m) * m
 
     def _shard0(self):
         """out_shardings pin for a pipeline-entry executable's batch-major
@@ -469,6 +505,13 @@ class Codec:
     def _concat_u8_fn(self):
         return jax.jit(lambda *parts: jnp.concatenate(parts, axis=-1))
 
+    def _stack0_fn(self):
+        """Batch-concat per-image [1, ...] arrays (portable mode). Pure
+        data movement — exact for floats, so it is boundary-safe even for
+        y_hat/z_hat (the VALUES were produced by the canonical batch-1
+        executables; stacking cannot change them)."""
+        return jax.jit(lambda *parts: jnp.concatenate(parts, axis=0))
+
     def _upload_words(self, strings: List[bytes], cap: int):
         """Host bytes -> device word buffer of static capacity `cap`, with
         per-image word offsets. The exact-size upload is chunk-quantized and
@@ -507,12 +550,72 @@ class Codec:
         return B * y_cap, B * z_cap
 
     # ------------------------------------------------------------------
+    def _encode_param_chain_portable(self, y, z_sym):
+        """Portable-mode encode chain: derive every float that feeds
+        symbolization through CANONICAL per-image (batch-1) executables —
+        the same programs a batch-1 decoder compiles — so ANY decoder
+        batch grouping reproduces the entropy parameters bitwise
+        (batch-B executables are different XLA lowerings and may round
+        bf16-boundary values differently, PERF.md §8b). Only integers and
+        the encoder-only y (never recomputed by a decoder) cross the
+        per-image slicing boundary. Costs O(B) extra dispatches; the
+        front, pack, and reconstruction stay batched."""
+        p = self.params
+        B, yH, yW = y.shape[0], y.shape[1], y.shape[2]
+        hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
+                              self._hyper_decode_fn)
+        stack = self._get_jit(("stack0",), self._stack0_fn)
+        ys, yi, yh, zh = [], [], [], []
+        if self.module.use_charm:
+            cat16 = self._get_jit(("cat16",), self._concat_i16_fn)
+            cat8 = self._get_jit(("cat8",), self._concat_u8_fn)
+            p0 = self._get_jit(("slice_p", 0, (1, yH, yW)),
+                               lambda: self._slice_params_fn(0))
+            for b in range(B):
+                ho, z_hat_b = hyper(p, z_sym[b:b + 1])
+                y_b = y[b:b + 1]
+                y_prev = jnp.zeros((1, yH, yW, 0), jnp.float32)
+                mu, idx = p0(p, ho, y_prev)
+                syms, idxs = [], []
+                for i in range(self.num_slices):
+                    sq = self._get_jit(("symq", i, (1,) + y.shape[1:]),
+                                       lambda i=i: self._symbolize_fn(i))
+                    sym = sq(p, y_b, mu)
+                    syms.append(sym)
+                    idxs.append(idx)
+                    sf = self._get_jit(("slice_s", i, (1, yH, yW)),
+                                       lambda i=i: self._slice_step_fn(i))
+                    y_prev, mu, idx = sf(p, ho, y_prev, sym, mu)
+                ys.append(cat16(*syms))
+                yi.append(cat8(*idxs))
+                yh.append(y_prev)
+                zh.append(z_hat_b)
+        else:
+            ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+            sq = self._get_jit(("ysymq",), self._y_symbolize_fn)
+            dq = self._get_jit(("ydq",), self._y_dequant_fn)
+            for b in range(B):
+                ho, z_hat_b = hyper(p, z_sym[b:b + 1])
+                means, idx = ymi(p, ho)
+                sym = sq(p, y[b:b + 1], means)
+                ys.append(sym)
+                yi.append(idx)
+                yh.append(dq(p, sym, means))
+                zh.append(z_hat_b)
+        if B == 1:
+            return ys[0], yi[0], yh[0], zh[0]
+        return stack(*ys), stack(*yi), stack(*yh), stack(*zh)
+
     def _encode_param_chain(self, y, z_sym):
         """Shared-executable encode chain: derive hyper_out, per-slice
         mu/idx, and y_hat through THE SAME compiled executables the decoder
         uses (same jit-cache keys as _decompress_tpu / decompress_raw), so
         the entropy parameters both sides compute are bitwise identical by
-        construction. Returns (y_syms int16, y_idxs uint8, y_hat, z_hat)."""
+        construction. Returns (y_syms int16, y_idxs uint8, y_hat, z_hat).
+        In portable mode the chain instead runs per image at the canonical
+        batch-1 shape (see _encode_param_chain_portable)."""
+        if self.portable:
+            return self._encode_param_chain_portable(y, z_sym)
         p = self.params
         B, yH, yW = y.shape[0], y.shape[1], y.shape[2]
         hyper = self._get_jit(("hyper", z_sym.shape), self._hyper_decode_fn)
@@ -571,12 +674,16 @@ class Codec:
         else:
             assert beta_rate is not None and beta_vq is not None
             quality_ind = 0
-        B, H, W = images.shape[0], images.shape[1], images.shape[2]
-        if self.mesh is not None:
-            n = self.mesh.devices.size
-            assert B % n == 0, (
-                f"mesh codec: batch {B} must divide by the mesh size {n}")
         images = np.asarray(images)
+        orig_B = images.shape[0]
+        if self.mesh is not None and orig_B % self.mesh.devices.size:
+            # Pad the batch to the mesh multiple (repeat the last image) so
+            # multi-chip serving accepts any batch; finalize drops the pad.
+            n = self.mesh.devices.size
+            pad = (-orig_B) % n
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], pad, axis=0)], axis=0)
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
         if images.dtype != np.uint8:
             images = images.astype(np.float32)
         x = _pad_np(images)
@@ -617,8 +724,8 @@ class Codec:
                 pass
         fmt = ("tpu_dev" if tpu_dev else
                "tpu_host" if self.stream_format == "tpu" else "compressai")
-        return dict(out=out, B=B, H=H, W=W, quality_ind=quality_ind,
-                    debug=debug, fmt=fmt)
+        return dict(out=out, B=B, orig_B=orig_B, H=H, W=W,
+                    quality_ind=quality_ind, debug=debug, fmt=fmt)
 
     def compress_finalize(self, handle: Dict) -> List[Dict]:
         """Phase 2: pull the coded streams (tpu+device backend) or symbol
@@ -717,7 +824,9 @@ class Codec:
             header = HeaderHandler.encode((H, W), max_abs_y, quality_ind,
                                           tpu_format=tpu_host,
                                           lanes=self.lanes,
-                                          esc_dense=esc_dense)
+                                          esc_dense=esc_dense,
+                                          portable=self.portable,
+                                          encode_batch=B)
             r = dict(
                 string_list=[header, z_str, y_str],
                 pred_y_bpp=float(y_bits[b]) / num_pixel,
@@ -728,7 +837,7 @@ class Codec:
                 r["y_hat"] = np.asarray(out["y_hat"][b])
                 r["z_hat"] = np.asarray(out["z_hat"][b])
             results.append(r)
-        return results
+        return results[:handle.get("orig_B", B)]
 
     def _esc_dense_flags(self, handle: Dict, y_escmax, z_escmax):
         """Per-image dense-escape header flags: True when some section's
@@ -804,7 +913,9 @@ class Codec:
             header = HeaderHandler.encode((H, W), max_abs_y,
                                           handle["quality_ind"],
                                           tpu_format=True, lanes=self.lanes,
-                                          esc_dense=bool(esc_dense[b]))
+                                          esc_dense=bool(esc_dense[b]),
+                                          portable=self.portable,
+                                          encode_batch=B)
             r = dict(
                 string_list=[header,
                              pz[z_off[b]:z_off[b + 1]].tobytes(),
@@ -817,7 +928,7 @@ class Codec:
                 r["y_hat"] = np.asarray(out["y_hat"][b])
                 r["z_hat"] = np.asarray(out["z_hat"][b])
             results.append(r)
-        return results
+        return results[:handle.get("orig_B", B)]
 
     def compress(self, images: np.ndarray, quality_ind: Optional[int] = None,
                  beta_rate: Optional[float] = None,
@@ -838,28 +949,60 @@ class Codec:
         H, W = headers[0]["img_size"]
         q = headers[0]["quality_ind"]
         fmt = headers[0]["stream_format"]
+        portable = headers[0]["portable"]
         assert all(h["img_size"] == (H, W) for h in headers)
         assert all(h["quality_ind"] == q for h in headers)
         assert all(h["stream_format"] == fmt for h in headers)
-        beta_rate, beta_vq = self.spec.quality_betas(q)
+        assert all(h["portable"] == portable for h in headers), (
+            "mixed portable/non-portable streams in one decode batch")
+        if fmt == "tpu" and not portable:
+            # Non-portable streams are only guaranteed decodable by the
+            # encoder's executable configuration (PERF.md §8b). The header
+            # records the encode batch; fail fast on a mismatch instead of
+            # risking a silent lowering-dependent desync (legacy 6-byte
+            # headers carry no record and skip the check).
+            run_B = self._mesh_pad(len(string_lists))
+            for h in headers:
+                eb = h["encode_batch"]
+                if eb and eb != run_B:
+                    raise ValueError(
+                        f"non-portable tpu stream was encoded at batch "
+                        f"{eb} but this decode runs at batch {run_B}: "
+                        "batch-B executables are different XLA lowerings "
+                        "and entropy parameters may not reproduce. Decode "
+                        f"in groups of {eb}, or re-encode with "
+                        "Codec(portable=True) for batch-independent "
+                        "streams")
         return self.decompress_raw(
             [s[1] for s in string_lists], [s[2] for s in string_lists],
-            (H, W), beta_rate, beta_vq, defer_fetch=defer_fetch,
+            (H, W), beta_rate=self.spec.quality_betas(q)[0],
+            beta_vq=self.spec.quality_betas(q)[1], defer_fetch=defer_fetch,
             stream_format=fmt, lanes=headers[0]["lanes"],
             esc_dense=any(bool(h["esc_dense"]) for h in headers)
-            if fmt == "tpu" else False)
+            if fmt == "tpu" else False, portable=portable)
 
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
                        img_size: Tuple[int, int], beta_rate: float,
                        beta_vq: float, defer_fetch: bool = False,
                        stream_format: Optional[str] = None,
                        lanes: Optional[int] = None,
-                       esc_dense: bool = False) -> np.ndarray:
+                       esc_dense: bool = False,
+                       portable: bool = False) -> np.ndarray:
         """defer_fetch=True returns a PendingImages handle with the d2h copy
         already started — call .fetch() later to overlap the transfer with
-        the next batch's compute."""
+        the next batch's compute. portable=True decodes the entropy
+        parameters through the canonical batch-1 executables (streams
+        written by a portable encoder — decompress() reads the header
+        flag)."""
         H, W = img_size
+        orig_B = len(z_strs)
+        if self._mesh_pad(orig_B) != orig_B:
+            # mesh batch padding: repeat the last stream, drop its outputs
+            pad = self._mesh_pad(orig_B) - orig_B
+            z_strs = list(z_strs) + [z_strs[-1]] * pad
+            y_strs = list(y_strs) + [y_strs[-1]] * pad
         B = len(z_strs)
+        keep = None if B == orig_B else orig_B
         padH = -(-H // self.model_stride) * self.model_stride
         padW = -(-W // self.model_stride) * self.model_stride
         zH, zW = padH // self.model_stride, padW // self.model_stride
@@ -871,7 +1014,8 @@ class Codec:
             return self._decompress_tpu(z_strs, y_strs, (H, W), beta_rate,
                                         beta_vq, defer_fetch,
                                         lanes=lanes or self.lanes,
-                                        esc_dense=esc_dense)
+                                        esc_dense=esc_dense,
+                                        portable=portable, keep=keep)
 
         # z: factorized decode, one shot per image (parallel across images)
         z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
@@ -880,34 +1024,40 @@ class Codec:
             lambda s: decode_with_indexes(s, z_idx1, self.z_table)
             .reshape(zH, zW, Cz), z_strs))).astype(np.int16)
 
-        hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
-                              self._hyper_decode_fn)
-        hyper_out, _ = hyper(self.params, self._put_batch(z_sym))
-
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
 
-        if self.module.use_charm:
-            y_hat = self._charm_decode(hyper_out, y_strs, B, yH, yW, Cy)
+        if portable:
+            # canonical per-image chain — matches the portable encoder's
+            # batch-1 executables regardless of this decode's grouping
+            y_hat, _ = self._host_decode_params_portable(
+                z_sym, y_strs, B, yH, yW, Cy)
         else:
-            # shared executables with the encode pipeline — idx/means must
-            # match the encoder bitwise (see _encode_param_chain)
-            ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
-            means, idx8 = ymi(self.params, hyper_out)
-            idx = np.asarray(idx8, np.int32)
-            sym = np.stack([
-                decode_with_indexes(s, idx[b].reshape(-1), self.y_table)
-                .reshape(yH, yW, Cy)
-                for b, s in enumerate(y_strs)])
-            dq = self._get_jit(("ydq",), self._y_dequant_fn)
-            y_hat = dq(self.params,
-                       self._put_batch(sym.astype(np.int16)), means)
+            hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
+                                  self._hyper_decode_fn)
+            hyper_out, _ = hyper(self.params, self._put_batch(z_sym))
+            if self.module.use_charm:
+                y_hat = self._charm_decode(hyper_out, y_strs, B, yH, yW, Cy)
+            else:
+                # shared executables with the encode pipeline — idx/means
+                # must match the encoder bitwise (see _encode_param_chain)
+                ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+                means, idx8 = ymi(self.params, hyper_out)
+                idx = np.asarray(idx8, np.int32)
+                sym = np.stack([
+                    decode_with_indexes(s, idx[b].reshape(-1), self.y_table)
+                    .reshape(yH, yW, Cy)
+                    for b, s in enumerate(y_strs)])
+                dq = self._get_jit(("ydq",), self._y_dequant_fn)
+                y_hat = dq(self.params,
+                           self._put_batch(sym.astype(np.int16)), means)
 
         from .tiling import SPLIT_RESOLUTION
         if max(H, W) > SPLIT_RESOLUTION:
             fake = self._split_reconstruct(y_hat, b1, b2, B, padH, padW)
             fake = fake[:, :H, :W, :]
-            return PendingImages(fake, None) if defer_fetch else fake
+            pending = PendingImages(fake, None, keep=keep)
+            return pending if defer_fetch else pending.fetch()
 
         recon = self._get_jit(("recon_flat", (B, yH, yW, Cy)), self._recon_fn)
         fake = recon(self.params, y_hat, b1, b2)  # flat uint8 [B*padH*padW*3]
@@ -915,16 +1065,58 @@ class Codec:
             fake.copy_to_host_async()
         except AttributeError:
             pass
-        pending = PendingImages(fake, (B, padH, padW, H, W))
+        pending = PendingImages(fake, (B, padH, padW, H, W), keep=keep)
         return pending if defer_fetch else pending.fetch()
+
+    def _host_decode_params_portable(self, z_sym: np.ndarray,
+                                     y_strs: List[bytes],
+                                     B, yH, yW, Cy):
+        """Host-coded formats, portable streams: run hyper + the y param
+        chain per image at the canonical batch-1 shape (the executables a
+        batch-1 codec compiles), then stack y_hat for the batched
+        reconstruction. Symbol decode stays on the host per image (the
+        streams are per-image by construction). Returns (y_hat, z_hat)."""
+        hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
+                              self._hyper_decode_fn)
+        z_dev = jnp.asarray(z_sym)
+        y_hats, z_hats = [], []
+        for b in range(B):
+            ho, zh = hyper(self.params, z_dev[b:b + 1])
+            z_hats.append(zh)
+            if self.module.use_charm:
+                y_hats.append(self._charm_decode(
+                    ho, [y_strs[b]], 1, yH, yW, Cy))
+            else:
+                ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+                means, idx8 = ymi(self.params, ho)
+                idx = np.asarray(idx8, np.int32)
+                sym = decode_with_indexes(
+                    y_strs[b], idx.reshape(-1),
+                    self.y_table).reshape(1, yH, yW, Cy)
+                dq = self._get_jit(("ydq",), self._y_dequant_fn)
+                y_hats.append(dq(self.params, jnp.asarray(
+                    sym.astype(np.int16)), means))
+        if B == 1:
+            return y_hats[0], z_hats[0]
+        stack = self._get_jit(("stack0",), self._stack0_fn)
+        return stack(*y_hats), stack(*z_hats)
 
     def _decode_pipeline(self, z_words, z_base, y_words, y_base,
                          B, zH, zW, yH, yW, lanes: int, sparse_esc: bool,
-                         recon: bool, b1, b2) -> Dict:
+                         recon: bool, b1, b2,
+                         portable: bool = False) -> Dict:
         """tpu-format decode as a chain of executables: z scan -> hyper ->
         per-slice (shared params/step + y-section scan) -> optional
         reconstruction. All dispatches are async; nothing blocks until the
-        caller fetches. Returns {y_hat, z_hat, consumed_words[, img]}."""
+        caller fetches. Returns {y_hat, z_hat, consumed_words[, img]}.
+        portable=True derives the entropy parameters through the canonical
+        batch-1 executables (matching a portable encoder's, regardless of
+        this decode's batch); the integer entropy scans and the
+        reconstruction stay batched either way."""
+        if portable:
+            return self._decode_pipeline_portable(
+                z_words, z_base, y_words, y_base, B, zH, zW, yH, yW,
+                lanes, sparse_esc, recon, b1, b2)
         p = self.params
         Cy = self.module.bottleneck_y
         zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc),
@@ -972,12 +1164,95 @@ class Codec:
             res["img"] = rec(p, y_hat, b1, b2)
         return res
 
+    def _decode_pipeline_portable(self, z_words, z_base, y_words, y_base,
+                                  B, zH, zW, yH, yW, lanes: int,
+                                  sparse_esc: bool, recon: bool,
+                                  b1, b2) -> Dict:
+        """Portable-stream decode: the z/y entropy scans run batched (pure
+        integer programs — exact under any lowering), but every FLOAT that
+        gates symbol interpretation (hyper_out, per-slice mu, y_hat_prev,
+        non-charm means) is computed per image at the canonical batch-1
+        shape, mirroring _encode_param_chain_portable. Integers (decoded
+        symbol planes, cdf indexes) are sliced/stacked across the
+        per-image <-> batched boundary, which is exact by construction."""
+        p = self.params
+        Cy = self.module.bottleneck_y
+        stack = self._get_jit(("stack0",), self._stack0_fn)
+
+        def stk(parts):
+            return parts[0] if B == 1 else stack(*parts)
+
+        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc),
+                             lambda: self._zdec_fn(B, zH, zW, lanes,
+                                                   sparse_esc))
+        z_sym, z_cursor = zdec(z_words, z_base)
+        hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
+                              self._hyper_decode_fn)
+        hos, zhs = [], []
+        for b in range(B):
+            ho_b, zh_b = hyper(p, z_sym[b:b + 1])
+            hos.append(ho_b)
+            zhs.append(zh_b)
+        z_hat = stk(zhs)
+        cursor = jnp.zeros((B,), jnp.int32)
+        if self.module.use_charm:
+            sc = Cy // self.num_slices
+            L = section_lanes(yH * yW * sc, lanes)
+            p0 = self._get_jit(("slice_p", 0, (1, yH, yW)),
+                               lambda: self._slice_params_fn(0))
+            y_prevs = [jnp.zeros((1, yH, yW, 0), jnp.float32)] * B
+            mus, idxs = [], []
+            for b in range(B):
+                mu_b, idx_b = p0(p, hos[b], y_prevs[b])
+                mus.append(mu_b)
+                idxs.append(idx_b)
+            state = jnp.zeros((B, L), jnp.uint32)  # ignored by first=True
+            for i in range(self.num_slices):
+                yd = self._get_jit(
+                    ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc),
+                    lambda f=(i == 0): self._ysec_fn(f, B, yH, yW, sc,
+                                                     lanes, sparse_esc))
+                sym, cursor, state = yd(y_words, y_base, cursor, state,
+                                        stk(idxs))
+                sf = self._get_jit(("slice_s", i, (1, yH, yW)),
+                                   lambda i=i: self._slice_step_fn(i))
+                for b in range(B):
+                    y_prevs[b], mus[b], idxs[b] = sf(
+                        p, hos[b], y_prevs[b], sym[b:b + 1], mus[b])
+            y_hat = stk(y_prevs)
+        else:
+            ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
+            means, idxs = [], []
+            for b in range(B):
+                m_b, i_b = ymi(p, hos[b])
+                means.append(m_b)
+                idxs.append(i_b)
+            yd = self._get_jit(
+                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc),
+                lambda: self._ysec_fn(True, B, yH, yW, Cy, lanes,
+                                      sparse_esc))
+            state = jnp.zeros(
+                (B, section_lanes(yH * yW * Cy, lanes)), jnp.uint32)
+            sym, cursor, state = yd(y_words, y_base, cursor, state,
+                                    stk(idxs))
+            dq = self._get_jit(("ydq",), self._y_dequant_fn)
+            y_hat = stk([dq(p, sym[b:b + 1], means[b]) for b in range(B)])
+        res = dict(y_hat=y_hat, z_hat=z_hat,
+                   consumed_words=jnp.stack([z_cursor, cursor], axis=0))
+        if recon:
+            rec = self._get_jit(("recon_flat", (B, yH, yW, Cy)),
+                                self._recon_fn)
+            res["img"] = rec(p, y_hat, b1, b2)
+        return res
+
     def _decompress_tpu(self, z_strs: List[bytes], y_strs: List[bytes],
                         img_size: Tuple[int, int], beta_rate: float,
                         beta_vq: float, defer_fetch: bool = False,
                         include_latents: bool = False,
                         lanes: Optional[int] = None,
-                        esc_dense: bool = False):
+                        esc_dense: bool = False,
+                        portable: bool = False,
+                        keep: Optional[int] = None):
         """Decode device-coded streams: upload the word buffers, run the
         shared-executable pipeline (z decode -> hyper -> ChARM chain with
         device rANS sections -> reconstruction), download flat uint8 pixels.
@@ -1004,7 +1279,8 @@ class Codec:
         out = self._decode_pipeline(z_words, z_base, y_words, y_base,
                                     B, zH, zW, yH, yW, lanes,
                                     sparse_esc=not esc_dense,
-                                    recon=recon, b1=b1, b2=b2)
+                                    recon=recon, b1=b1, b2=b2,
+                                    portable=portable)
         check = lambda: self._check_consumed(out["consumed_words"],
                                              z_strs, y_strs)
         if include_latents:
@@ -1014,7 +1290,8 @@ class Codec:
             fake = self._split_reconstruct(out["y_hat"], b1, b2, B,
                                            padH, padW)[:, :H, :W, :]
             check()
-            return PendingImages(fake, None) if defer_fetch else fake
+            pending = PendingImages(fake, None, keep=keep)
+            return pending if defer_fetch else pending.fetch()
         img = out["img"]
         try:
             img.copy_to_host_async()
@@ -1023,7 +1300,8 @@ class Codec:
             pass
         # validated at fetch time — the tiny consumed_words d2h rides along
         # with the image transfer instead of forcing an extra sync here
-        pending = PendingImages(img, (B, padH, padW, H, W), check=check)
+        pending = PendingImages(img, (B, padH, padW, H, W), check=check,
+                                keep=keep)
         return pending if defer_fetch else pending.fetch()
 
     def bench_device_cycle(self, images: np.ndarray,
@@ -1133,17 +1411,24 @@ class Codec:
         allclose hook, scripts/compress.py:137-138, made runnable). Requires
         results from compress(..., debug=True)."""
         H, W = img_size
+        if self._mesh_pad(len(string_lists)) != len(string_lists):
+            # mesh batch padding (dropped from the comparison below, which
+            # iterates over `results` only)
+            pad = self._mesh_pad(len(string_lists)) - len(string_lists)
+            string_lists = list(string_lists) + [string_lists[-1]] * pad
         B = len(string_lists)
-        fmt = HeaderHandler.decode(string_lists[0][0])["stream_format"]
+        hdr = HeaderHandler.decode(string_lists[0][0])
+        fmt = hdr["stream_format"]
+        portable = hdr["portable"]
         if fmt == "tpu":
-            hdr = HeaderHandler.decode(string_lists[0][0])
             br, bv = self.spec.quality_betas(hdr["quality_ind"])
             out = self._decompress_tpu(
                 [s[1] for s in string_lists], [s[2] for s in string_lists],
                 (H, W), br, bv, include_latents=True, lanes=hdr["lanes"],
                 esc_dense=any(
                     bool(HeaderHandler.decode(s[0])["esc_dense"])
-                    for s in string_lists))
+                    for s in string_lists),
+                portable=portable)
             y_hat = np.asarray(out["y_hat"])
             z_hat = np.asarray(out["z_hat"])
             return all(
@@ -1161,6 +1446,14 @@ class Codec:
         z_sym = np.stack([
             decode_with_indexes(s[1], z_idx1, self.z_table)
             .reshape(zH, zW, Cz) for s in string_lists]).astype(np.int16)
+        if portable:
+            y_hat, z_hat = self._host_decode_params_portable(
+                z_sym, [s[2] for s in string_lists], B, yH, yW, Cy)
+            y_hat, z_hat = np.asarray(y_hat), np.asarray(z_hat)
+            return all(
+                np.array_equal(y_hat[b], r["y_hat"])
+                and np.array_equal(z_hat[b], r["z_hat"])
+                for b, r in enumerate(results))
         hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
                               self._hyper_decode_fn)
         hyper_out, z_hat = hyper(self.params, self._put_batch(z_sym))

@@ -74,13 +74,14 @@ def main():
     feats_fn = load_inception_features(args.inception_weights)
 
     def reconstruct_all(beta_rate, beta_vq):
+        """Full set — the remainder batch runs at its own shape instead of
+        being dropped (scores must cover every validation image; one extra
+        compile is noise for an offline sweep)."""
         b1 = jnp.array([beta_rate], jnp.float32)
         b2 = jnp.array([beta_vq], jnp.float32)
         outs = []
         for i in range(0, len(imgs), args.batch_size):
             batch = imgs[i:i + args.batch_size]
-            if len(batch) < args.batch_size:
-                break
             outs.append(np.asarray(fwd(params, jnp.asarray(batch), b1, b2)))
         return np.concatenate(outs, axis=0)
 

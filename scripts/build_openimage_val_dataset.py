@@ -78,14 +78,24 @@ def main():
         count += 1
 
         if len(crops) == args.batch_size or count == args.num_images:
-            _, idx = vq_fn(params, jnp.asarray(np.stack(crops)))
-            idx = np.asarray(idx)
-            dtype = np.uint8 if module.n_embed <= 256 else np.int32
-            for nm, ix in zip(names, idx):
-                np.save(os.path.join(idx_dir, f"{nm}.npy"), ix.astype(dtype))
+            _flush_tokens(vq_fn, params, module, crops, names, idx_dir)
             crops, names = [], []
 
+    if crops:
+        # source exhausted before num_images: flush the partial batch too
+        # (every saved crop must get its token map)
+        _flush_tokens(vq_fn, params, module, crops, names, idx_dir)
+
     logger.info(f"wrote {count} crops + token maps to {args.save_dir}")
+
+
+def _flush_tokens(vq_fn, params, module, crops, names, idx_dir):
+    import jax.numpy as jnp
+    _, idx = vq_fn(params, jnp.asarray(np.stack(crops)))
+    idx = np.asarray(idx)
+    dtype = np.uint8 if module.n_embed <= 256 else np.int32
+    for nm, ix in zip(names, idx):
+        np.save(os.path.join(idx_dir, f"{nm}.npy"), ix.astype(dtype))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,11 @@ def parse_args():
     p.add_argument("--selfcheck", action="store_true",
                    help="verify decode-side latents match the encoder bit-exactly")
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--portable", action="store_true",
+                   help="write batch-independent streams: any decoder "
+                        "batch grouping reproduces the latents bit-exactly "
+                        "(canonical per-image entropy parameters; slightly "
+                        "slower encode)")
     p.add_argument("--stream_format", type=str, default="tpu",
                    choices=["tpu", "compressai"],
                    help="tpu: device-coded streams (native, fastest); "
@@ -96,7 +101,8 @@ def main():
 
     spec = build_comp_model(opt)
     params = init_params(spec, args.model_path)
-    codec = Codec(spec, params, stream_format=args.stream_format)
+    codec = Codec(spec, params, stream_format=args.stream_format,
+                  portable=args.portable)
 
     # resolution buckets -> batched encode per bucket
     buckets = defaultdict(list)

@@ -43,17 +43,41 @@ def codec(request, built):
 
 def test_header_roundtrip():
     for fmt in (False, True):
-        h = HeaderHandler.encode((768, 512), 17, 3, tpu_format=fmt,
-                                 lanes=512)
-        assert len(h) == 6
-        d = HeaderHandler.decode(h)
-        assert d["img_size"] == (768, 512)
-        assert d["quality_ind"] == 3
-        assert d["stream_format"] == ("tpu" if fmt else "compressai")
-        if fmt:
-            assert d["lanes"] == 512 and d["max_sample"] is None
-        else:
-            assert d["max_sample"] == 17 and d["lanes"] is None
+        for portable in (False, True):
+            h = HeaderHandler.encode((768, 512), 17, 3, tpu_format=fmt,
+                                     lanes=512, portable=portable,
+                                     encode_batch=16)
+            # compressai headers keep the reference's 6-byte layout; tpu
+            # headers append a uint16 encode-batch field
+            assert len(h) == (8 if fmt else 6)
+            d = HeaderHandler.decode(h)
+            assert d["img_size"] == (768, 512)
+            assert d["quality_ind"] == 3
+            assert d["portable"] is portable
+            assert d["stream_format"] == ("tpu" if fmt else "compressai")
+            if fmt:
+                assert d["lanes"] == 512 and d["max_sample"] is None
+                assert d["encode_batch"] == 16
+            else:
+                assert d["max_sample"] == 17 and d["lanes"] is None
+                assert d["encode_batch"] is None
+
+
+def test_header_legacy_6byte_tpu():
+    """Round-<=3 tpu headers were 6 bytes (no encode-batch record, no
+    portable bit): they must still parse, with encode_batch None so the
+    batch-coupling check is skipped."""
+    import struct
+    legacy = struct.pack("<HHBB", 768, 512, 9, 0x80 | 2)
+    d = HeaderHandler.decode(legacy)
+    assert d["stream_format"] == "tpu"
+    assert d["lanes"] == 512 and d["quality_ind"] == 2
+    assert d["portable"] is False and d["encode_batch"] is None
+
+
+def test_header_quality_range():
+    with pytest.raises(ValueError):
+        HeaderHandler.encode((8, 8), 0, 64)
 
 
 def test_container_roundtrip(tmp_path):

@@ -67,11 +67,23 @@ def test_mesh_codec_decode_is_sharded(built):
     assert out.shape == imgs.shape
 
 
-def test_mesh_codec_batch_divisibility(built):
+def test_mesh_codec_nondivisible_batch(built):
+    """Any batch size is accepted under a mesh: the driver pads the batch
+    to the mesh multiple internally (repeating the last image / stream)
+    and drops the pad from every output — compress results, decompress
+    images, and verify_roundtrip all see exactly B entries."""
     spec, params = built
-    codec = Codec(spec, params, mesh=make_mesh(8))
-    with pytest.raises(AssertionError, match="divide"):
-        codec.compress(_images(B=6), quality_ind=0)
+    codec = Codec(spec, params, stream_format="tpu", mesh=make_mesh(8))
+    imgs = _images(B=6)
+    res = codec.compress(imgs, quality_ind=1, debug=True)
+    assert len(res) == 6
+    strings = [r["string_list"] for r in res]
+    assert codec.verify_roundtrip(res, strings, (64, 64))
+    out = codec.decompress(strings)
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    # deferred fetch drops the pad too
+    pending = codec.decompress(strings, defer_fetch=True)
+    assert pending.fetch().shape[0] == 6
 
 
 def test_mesh_codec_matches_pixel_stats(built):
