@@ -121,10 +121,14 @@ struct Table {
   }
 };
 
-// Count 4-bit chunks of v (0 for v == 0).
+// Count 4-bit chunks of v (0 for v == 0). The shift runs in 64-bit: for
+// v >= 2^28 the count reaches 8 and a 32-bit shift-by-32 is UB (x86 wraps
+// the count mod 32, looping forever — found by the adversarial spec fuzz
+// in tests/test_rans_spec.py; escape raws reach 2^29+ for deep escapes).
 inline int32_t n_chunks(uint32_t v) {
   int32_t n = 0;
-  while ((v >> (n * kBypassPrecision)) != 0) ++n;
+  uint64_t x = v;
+  while ((x >> (n * kBypassPrecision)) != 0) ++n;
   return n;
 }
 
@@ -289,7 +293,13 @@ void dcvic_rans_decode_stream(void *handle, const int32_t *indexes, int n,
       for (int32_t j = 0; j < n_bypass; ++j) {
         val = rans_dec_get_bits(&dec->rans, &dec->ptr, dec->end,
                                 kBypassPrecision);
-        raw_val |= val << (j * kBypassPrecision);
+        // guard the shift: a corrupt stream can claim n_bypass > 8, and a
+        // shift by >= 32 is UB (same class as the n_chunks fix). Excess
+        // chunks are still consumed (stream position semantics) but fall
+        // off the top of the 32-bit raw.
+        if (j * kBypassPrecision < 32) {
+          raw_val |= val << (j * kBypassPrecision);
+        }
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1) {

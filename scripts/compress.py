@@ -53,6 +53,36 @@ def parse_args():
     return p.parse_args()
 
 
+def plan_buckets(sizes, batch_size: int, stride: int = 64):
+    """Group images into batched compression chunks.
+
+    sizes: list of (path, (width, height)) as PIL reports them. Images are
+    bucketed by PADDED shape (the codec reflect-pads to a multiple of
+    `stride`, driver.py STRIDE, and jit caches key on the padded shape) —
+    so e.g. 500x375 and 512x384 share one compiled bucket. Within a padded
+    bucket, same-raw-resolution images are batched together (a compress()
+    batch must share the exact raw shape); chunks never exceed batch_size.
+
+    Returns (chunks, n_buckets): chunks is a list of lists of paths, each
+    chunk same raw resolution; n_buckets counts DISTINCT PADDED shapes =
+    the number of encode-graph compilations a sweep pays (the regression
+    contract tested by tests/test_calibration.py and measured on chip by
+    scripts/bucket_bench.py)."""
+    pad = lambda v: -(-v // stride) * stride
+    by_raw = defaultdict(list)
+    for p, (w, h) in sizes:
+        by_raw[(h, w)].append(p)
+    padded = {(pad(h), pad(w)) for h, w in by_raw}
+    chunks = []
+    bs = max(1, batch_size)
+    # deterministic order: biggest buckets first (compile the expensive
+    # graphs up front), then path order within
+    for (h, w) in sorted(by_raw, key=lambda s: (-s[0] * s[1], s)):
+        paths = sorted(by_raw[(h, w)])
+        chunks.extend(paths[i:i + bs] for i in range(0, len(paths), bs))
+    return chunks, len(padded)
+
+
 def load_image(path: str) -> np.ndarray:
     # uint8 straight through: the codec normalizes to [-1,1] on device
     # (same f32 op order as the reference's host transform).
@@ -104,58 +134,58 @@ def main():
     codec = Codec(spec, params, stream_format=args.stream_format,
                   portable=args.portable)
 
-    # resolution buckets -> batched encode per bucket
-    buckets = defaultdict(list)
+    # resolution buckets -> batched encode per bucket (see plan_buckets)
+    sizes = []
     for p in paths:
         with Image.open(p) as im:
-            buckets[im.size].append(p)
+            sizes.append((p, im.size))
+    chunks, n_buckets = plan_buckets(sizes, args.batch_size)
+    logger.info(f"{len(paths)} images -> {len(chunks)} chunks, "
+                f"{n_buckets} padded-shape buckets")
 
     rows = []
-    for size, bucket_paths in buckets.items():
-        bs = max(1, args.batch_size)
-        for i in range(0, len(bucket_paths), bs):
-            chunk = bucket_paths[i:i + bs]
-            imgs = np.stack([load_image(p) for p in chunk])
-            results = codec.compress(imgs, quality_ind=args.quality,
-                                     debug=args.selfcheck)
-            H, W = imgs.shape[1], imgs.shape[2]
+    for chunk in chunks:
+        imgs = np.stack([load_image(p) for p in chunk])
+        results = codec.compress(imgs, quality_ind=args.quality,
+                                 debug=args.selfcheck)
+        H, W = imgs.shape[1], imgs.shape[2]
 
-            bin_paths = []
-            for p, r in zip(chunk, results):
-                name = os.path.basename(p)
-                bin_path = os.path.join(args.save_dir,
-                                        name.replace(".png", ".bin"))
-                save_byte_strings(bin_path, r["string_list"])
-                bin_paths.append(bin_path)
-                nbytes = os.path.getsize(bin_path)
-                sl = r["string_list"]
-                rows.append({
-                    "img_name": name,
-                    "header_bit": len(sl[0]) * 8,
-                    "z_bit": len(sl[1]) * 8,
-                    "y_bit": len(sl[2]) * 8,
-                    "real_bit": nbytes * 8,
-                    "real_bpp": nbytes * 8 / (H * W),
-                    "pred_bpp": r["pred_y_bpp"] + r["pred_z_bpp"],
-                    "num_pixel": H * W,
-                })
-                logger.info(f"{name}: {nbytes * 8 / (H*W):.5f} bpp")
+        bin_paths = []
+        for p, r in zip(chunk, results):
+            name = os.path.basename(p)
+            bin_path = os.path.join(args.save_dir,
+                                    name.replace(".png", ".bin"))
+            save_byte_strings(bin_path, r["string_list"])
+            bin_paths.append(bin_path)
+            nbytes = os.path.getsize(bin_path)
+            sl = r["string_list"]
+            rows.append({
+                "img_name": name,
+                "header_bit": len(sl[0]) * 8,
+                "z_bit": len(sl[1]) * 8,
+                "y_bit": len(sl[2]) * 8,
+                "real_bit": nbytes * 8,
+                "real_bpp": nbytes * 8 / (H * W),
+                "pred_bpp": r["pred_y_bpp"] + r["pred_z_bpp"],
+                "num_pixel": H * W,
+            })
+            logger.info(f"{name}: {nbytes * 8 / (H*W):.5f} bpp")
 
-            if args.selfcheck:
-                strings = [load_byte_strings(bp) for bp in bin_paths]
-                ok = codec.verify_roundtrip(results, strings, (H, W))
-                if not ok:
-                    raise SystemExit(
-                        "SELFCHECK FAILED: decode-side latents diverge from "
-                        "the encoder (non-deterministic device math?)")
-                logger.info(f"selfcheck ok ({len(chunk)} images)")
+        if args.selfcheck:
+            strings = [load_byte_strings(bp) for bp in bin_paths]
+            ok = codec.verify_roundtrip(results, strings, (H, W))
+            if not ok:
+                raise SystemExit(
+                    "SELFCHECK FAILED: decode-side latents diverge from "
+                    "the encoder (non-deterministic device math?)")
+            logger.info(f"selfcheck ok ({len(chunk)} images)")
 
-            if args.decompress:
-                strings = [load_byte_strings(bp) for bp in bin_paths]
-                fakes = codec.decompress(strings)
-                for p, fake in zip(chunk, fakes):
-                    save_image(os.path.join(args.save_dir,
-                                            os.path.basename(p)), fake)
+        if args.decompress:
+            strings = [load_byte_strings(bp) for bp in bin_paths]
+            fakes = codec.decompress(strings)
+            for p, fake in zip(chunk, fakes):
+                save_image(os.path.join(args.save_dir,
+                                        os.path.basename(p)), fake)
 
     csv_path = os.path.join(args.save_dir, "_bitrates.csv")
     with open(csv_path, "w", newline="") as f:

@@ -154,3 +154,44 @@ def test_beta_selection_cli(tmp_path):
         assert np.isfinite(float(r["psnr"]))
         assert r["fid_in_score"] == "False"  # no inception weights in env
         assert float(r["score"]) == float(r["psnr"]) * 2.0  # alpha*PSNR - 0
+
+
+# ------------------------------------------------- bucket planner (r4)
+def test_plan_buckets_groups_by_padded_shape():
+    """compress.py's sweep planner: images bucket by PADDED shape (the jit
+    caches key on it — driver.py STRIDE reflect-pad), chunks share the
+    exact raw resolution and respect batch_size, order is deterministic,
+    and n_buckets == the number of distinct padded shapes = the number of
+    encode-graph compiles a mixed-resolution sweep pays."""
+    from compress import plan_buckets
+
+    sizes = [
+        # (path, (width, height)) as PIL reports
+        ("a1.png", (512, 384)), ("a2.png", (512, 384)),
+        ("a3.png", (512, 384)),
+        ("b1.png", (500, 375)),   # pads to the same 384x512 bucket as a*
+        ("c1.png", (768, 512)), ("c2.png", (768, 512)),
+        ("d1.png", (2040, 1356)),  # >1024px tiling-path geometry
+    ]
+    chunks, n_buckets = plan_buckets(sizes, batch_size=2)
+    # padded shapes: (384,512) for a*/b1, (512,768) for c*, (1408,2048) d1
+    assert n_buckets == 3
+    # every chunk shares one raw resolution and respects batch_size
+    raw = {p: (h, w) for p, (w, h) in sizes}
+    for ch in chunks:
+        assert len(ch) <= 2
+        assert len({raw[p] for p in ch}) == 1
+    # all paths exactly once
+    flat = [p for ch in chunks for p in ch]
+    assert sorted(flat) == sorted(p for p, _ in sizes)
+    # biggest padded bucket compiles first
+    assert chunks[0] == ["d1.png"]
+    # deterministic: same input -> same plan
+    assert plan_buckets(sizes, batch_size=2)[0] == chunks
+
+
+def test_plan_buckets_singletons_and_batch_one():
+    from compress import plan_buckets
+    sizes = [("x.png", (97, 33))]
+    chunks, n_buckets = plan_buckets(sizes, batch_size=8)
+    assert chunks == [["x.png"]] and n_buckets == 1

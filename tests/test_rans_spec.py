@@ -123,6 +123,135 @@ def test_c_coder_matches_python_spec(seed, n, esc_rate):
     np.testing.assert_array_equal(dec, sym)
 
 
+def _spec_equal(sym, idx, table):
+    """Assert C bytes == PySpec bytes and the C decoder inverts them."""
+    sym = np.asarray(sym, np.int32)
+    idx = np.asarray(idx, np.int32)
+    c_bytes = encode_with_indexes(sym, idx, table)
+    py_bytes = PySpecEncoder(table).encode(sym, idx)
+    assert c_bytes == py_bytes, (
+        f"C coder diverges from the pure-Python spec implementation "
+        f"(len {len(c_bytes)} vs {len(py_bytes)})")
+    np.testing.assert_array_equal(
+        decode_with_indexes(c_bytes, idx, table), sym)
+    return c_bytes
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_spec_long_escape_chains(seed):
+    """Escape raws spanning 4..8 bypass chunks (the existing cases top out
+    at ~5): |value| up to 2**29 — the int32-arithmetic bound both CompressAI
+    and the C coder share (value/raw math is int32_t; beyond 2**30 the
+    reference itself overflows, so that is outside the spec's domain). The
+    15-saturating chunk-count path (nb >= 15) needs raw >= 2**56 and is
+    unreachable from int32 symbols by construction."""
+    table = _table()
+    rng = np.random.default_rng(100 + seed)
+    n = 512
+    idx = rng.integers(0, 4, n).astype(np.int32)
+    mag = rng.integers(4 * 4, 8 * 4 + 1, n)          # chunks*4 bits of raw
+    raw_target = (np.int64(1) << mag) - 1
+    sym = np.where(rng.random(n) < 0.5,
+                   -(raw_target // 2) - 1,            # negative branch
+                   raw_target // 2 + 64)              # >= max_value branch
+    sym = np.clip(sym, -(1 << 29), (1 << 29) - 1).astype(np.int32)
+    _spec_equal(sym, idx, table)
+
+
+def test_spec_cdf_length_extremes():
+    """Rows at both ends of the legal cdf_length range: a 2-bin row (the
+    escape bin IS the whole row — every symbol bypass-codes) and a 300-bin
+    row (beyond the 64-entry scale table the codec uses)."""
+    from dc_vic_tpu.ops.cdf import pmf_to_quantized_cdf
+    # row 0: single-bin pmf -> cdf [0, 2^16], length 2, max_value 0
+    tiny = pmf_to_quantized_cdf([1.0])
+    # row 1: 299 content bins + tail -> length 301
+    rng = np.random.default_rng(7)
+    pmf = rng.random(299) + 0.01
+    pmf = pmf / pmf.sum() * (1 - 1e-4)
+    big = pmf_to_quantized_cdf(np.concatenate([pmf, [1e-4]]))
+    cols = len(big)
+    cdfs = np.zeros((2, cols), np.int32)
+    cdfs[0, :len(tiny)] = tiny
+    cdfs[1] = big
+    table = CdfTable(cdfs, [len(tiny), cols], [-3, 40])
+    n = 4000
+    idx = rng.integers(0, 2, n).astype(np.int32)
+    # row-0 symbols all escape (max_value=0); row-1 mostly in range
+    sym = np.where(idx == 0, rng.integers(-2000, 2000, n),
+                   rng.integers(30, 360, n)).astype(np.int32)
+    _spec_equal(sym, idx, table)
+
+
+def test_spec_offset_extremes():
+    """Per-index offsets at +-(2**28): the escape zigzag then runs off a
+    far-shifted origin in both directions (value = sym - offset stays
+    within the int32 spec domain)."""
+    from dc_vic_tpu.ops.cdf import pmf_to_quantized_cdf
+    cdf = pmf_to_quantized_cdf([0.5, 0.3, 0.2 - 1e-4, 1e-4])
+    cdfs = np.stack([cdf, cdf])
+    table = CdfTable(cdfs, [len(cdf), len(cdf)], [1 << 28, -(1 << 28)])
+    rng = np.random.default_rng(11)
+    n = 2048
+    idx = rng.integers(0, 2, n).astype(np.int32)
+    base = np.where(idx == 0, 1 << 28, -(1 << 28))
+    sym = (base + rng.integers(-64, 64, n)).astype(np.int32)
+    _spec_equal(sym, idx, table)
+
+
+def test_spec_multi_mb_symbol_plane():
+    """A 1.5M-symbol plane (one ChARM slice of a large image is ~0.8M):
+    exercises encoder buffer growth, long renorm runs, and decoder LUT
+    paths at production scale. PySpec is pure Python, so this is also the
+    slowest spec case (~10 s)."""
+    table = _table()
+    rng = np.random.default_rng(42)
+    n = 1_500_000
+    idx = rng.integers(0, 4, n).astype(np.int32)
+    scale = np.asarray([0.3, 1.0, 8.0, 64.0])[idx]
+    sym = np.round(rng.normal(0, scale)).astype(np.int32)
+    hot = rng.random(n) < 0.02
+    sym = np.where(hot, rng.integers(-(1 << 20), 1 << 20, n),
+                   sym).astype(np.int32)
+    _spec_equal(sym, idx, table)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_spec_fuzz_random_tables(seed):
+    """Hypothesis-style fuzz: random table shapes (1-8 rows, 2-70 bins),
+    random offsets, and symbol mixtures spanning in-range, mild-escape, and
+    deep-escape regimes — every draw must produce byte-identical C/PySpec
+    streams and an exact decode."""
+    from dc_vic_tpu.ops.cdf import pmf_to_quantized_cdf
+    rng = np.random.default_rng(1000 + seed)
+    rows = int(rng.integers(1, 9))
+    cdf_list, lengths = [], []
+    for _ in range(rows):
+        k = int(rng.integers(1, 70))
+        pmf = rng.random(k) ** float(rng.integers(1, 5)) + 1e-9
+        tail = float(rng.random() * 1e-2)
+        pmf = pmf / pmf.sum() * (1 - tail)
+        cdf_list.append(pmf_to_quantized_cdf(np.concatenate([pmf, [tail]])))
+        lengths.append(len(cdf_list[-1]))
+    cols = max(lengths)
+    cdfs = np.zeros((rows, cols), np.int32)
+    for r, c in enumerate(cdf_list):
+        cdfs[r, :len(c)] = c
+    offsets = rng.integers(-30000, 30000, rows).astype(np.int32)
+    table = CdfTable(cdfs, lengths, offsets)
+    n = int(rng.integers(1, 20000))
+    idx = rng.integers(0, rows, n).astype(np.int32)
+    off = offsets[idx]
+    maxv = (np.asarray(lengths, np.int32) - 2)[idx]
+    regime = rng.random(n)
+    inr = off + rng.integers(0, 1 << 14, n) % np.maximum(maxv, 1)
+    mild = off + rng.integers(-300, 300, n)
+    deep = off + rng.integers(-(1 << 29), 1 << 29, n)
+    sym = np.where(regime < 0.6, inr,
+                   np.where(regime < 0.9, mild, deep)).astype(np.int32)
+    _spec_equal(sym, idx, table)
+
+
 def test_compressai_golden_vectors_if_present():
     """Byte-level check against TRUE CompressAI outputs. The vectors are
     produced by running `python scripts/parity_check.py
