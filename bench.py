@@ -1,22 +1,33 @@
 """End-to-end codec throughput benchmark on the real TPU chip.
 
 Measures images/sec/chip for the full pipeline — device encode (VQGAN encode,
-ELIC transforms, hyper, ChARM symbolization) + host rANS encode + host rANS
-decode + device reconstruct (ChARM slice chain, decoder, VQ estimator, fused
-VQGAN decode) — at Kodak geometry 768x512, flagship dc_vic_patchgan
-architecture.
+ELIC transforms, hyper, ChARM symbolization, device rANS pack) + stream
+bytes out to host + stream bytes back in + device decode (z scan, hyper,
+ChARM slice chain with in-graph rANS, reconstruct) + decoded images out —
+at Kodak geometry 768x512, flagship dc_vic_patchgan architecture.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 20 (BASELINE.json north-star: >=20 img/s/chip).
 
 Robustness to shared-link weather (the tunnel's h2d/d2h bandwidth swings
 25-91 MB/s run to run, docs/PERF.md section 1): alongside the headline
-best-cycle number the JSON carries "median" (median steady-state cycle) and
+best-cycle number the JSON carries "median" (median steady-state cycle),
 "device_only" (pure device-graph throughput with inputs resident — no link,
-no host coding). A bad-window run shows best/median collapsing while
-device_only stays put, making regressions attributable. The persistent
-compile cache lives in .jax_cache/ next to this file (survives /tmp
-cleanup), so a cold driver run doesn't eat minutes of compile time.
+no host coding), a start-of-run link bandwidth probe ("link_mbps"), and
+per-cycle link/host attribution columns ("fetch_s" = decoded-image d2h,
+"finalize_s" = stream d2h + host container work, "decomp_s" = stream h2d +
+decode dispatch) — a bad-window run shows best/median collapsing while
+device_only stays put, and the columns say which transfer ate the cycle
+(VERDICT r3 #2). The persistent compile cache lives in .jax_cache/ next to
+this file (survives /tmp cleanup), so a cold driver run doesn't eat minutes
+of compile time.
+
+Pipeline shape (round 4): encode_backend="device" — the rANS pack runs on
+the device, so the only bytes that cross the link are the real contract
+(images in, coded streams out/in, images out; the host-backend sym_plane
+fetch was ~25 MB/batch of extra d2h). The decoded-image fetch of batch k-1
+is DEFERRED into cycle k after batch k+1's encode is dispatched, so its d2h
+rides under device compute instead of serializing at the cycle tail.
 """
 from __future__ import annotations
 
@@ -34,8 +45,11 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "6"))
 # Interleave-lane cap (throughput mode): the device decode scan's per-step
 # cost is fixed, so wider/fewer steps are faster; costs 4 bytes per lane per
-# stream section of rate (counted in the streams the bench moves).
+# stream of rate (counted in the streams the bench moves).
 LANES = int(os.environ.get("BENCH_LANES", "512"))
+# "device": rANS pack on the device (default; minimal link bytes).
+# "host": the C coder packs on the host from fetched symbol planes.
+BACKEND = os.environ.get("BENCH_BACKEND", "device")
 H, W = 768, 512
 TARGET = 20.0
 
@@ -49,6 +63,23 @@ def enable_cache():
                                      default_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def probe_link(n_mb: int = 8):
+    """One h2d + d2h round of an n_mb flat uint8 buffer: the run's link
+    weather, recorded so a bad BENCH number is attributable to the shared
+    tunnel rather than the graphs (device_only carries the graph truth)."""
+    import jax
+    buf = np.random.default_rng(0).integers(
+        0, 255, n_mb << 20, dtype=np.uint8)
+    dev = jax.block_until_ready(jax.device_put(buf[: 1 << 20]))  # warm path
+    _ = np.asarray(dev)
+    t0 = time.perf_counter()
+    dev = jax.block_until_ready(jax.device_put(buf))
+    t1 = time.perf_counter()
+    _ = np.asarray(dev)
+    t2 = time.perf_counter()
+    return {"h2d": n_mb / (t1 - t0), "d2h": n_mb / (t2 - t1)}
 
 
 def main():
@@ -76,7 +107,9 @@ def main():
     b = jnp.array([1.0], jnp.float32)
     params = jax.jit(lambda r: module.init(
         {"params": r}, x_init, b, b, is_train=False))(jax.random.PRNGKey(0))
-    codec = Codec(spec, params, lanes=LANES)
+    codec = Codec(spec, params, lanes=LANES, encode_backend=BACKEND)
+
+    link = probe_link()
 
     # Natural-image stand-in: smooth low-frequency content + sensor-ish noise
     # (pure white noise is maximally incompressible and would inflate the
@@ -95,36 +128,52 @@ def main():
     assert mean_y_bytes > 1000, "degenerate y streams — bench would be bogus"
     out = codec.decompress([r["string_list"] for r in res])
     assert out.shape == imgs.shape
+    stream_mb = sum(len(s) for r in res for s in r["string_list"]) / 1e6
 
-    # Pipelined steady-state throughput: batch k+1's device encode is
-    # dispatched before batch k's host work, so transfers/host rANS overlap
-    # device compute.
+    # Pipelined steady-state throughput. Per cycle k (single device stream):
+    #   1. dispatch batch k+1's encode (h2d + compute queue) so the device
+    #      is never idle during this cycle's host/link work;
+    #   2. fetch batch k-1's DECODED images (deferred from cycle k-1 — the
+    #      d2h was started back then and overlaps the queued encode);
+    #   3. finalize batch k's streams (small stats d2h + packed-words d2h);
+    #   4. dispatch batch k's decode (stream h2d + decode queue), deferring
+    #      its image fetch into cycle k+1.
+    # The shared chip's throughput fluctuates run to run; report the best
+    # steady-state cycle (standard practice for capability benchmarks under
+    # external interference) plus the median.
     n_batches = max(3, ROUNDS)
     batches = [np.ascontiguousarray(np.roll(imgs, i, axis=0))
                for i in range(n_batches)]
-    # Schedule per cycle (single device stream): finalize batch k's host rANS,
-    # run batch k's decode (device steps + host slices), THEN dispatch batch
-    # k+1's encode so the uint8 image fetch of batch k overlaps the encode
-    # compute of batch k+1.
-    # The shared chip's throughput fluctuates run to run; report the best
-    # steady-state cycle (standard practice for capability benchmarks under
-    # external interference).
     handle = codec.compress_dispatch(batches[0], quality_ind=0)
-    cycle_times = []
+    prev_pending = None
+    cycle_times, fetch_s, finalize_s, decomp_s = [], [], [], []
+    t_all0 = time.perf_counter()
     for k in range(n_batches):
         t0 = time.perf_counter()
-        # Queue batch k+1's encode FIRST so the device is never idle while
-        # the host runs batch k's rANS (decode's device calls line up after
-        # the queued encode on the single stream; throughput, not latency,
-        # is the benchmark's unit).
         nxt = (codec.compress_dispatch(batches[k + 1], quality_ind=0)
                if k + 1 < n_batches else None)
+        t1 = time.perf_counter()
+        if prev_pending is not None:
+            _ = prev_pending.fetch()
+        t2 = time.perf_counter()
         res = codec.compress_finalize(handle)
-        pending = codec.decompress(
+        t3 = time.perf_counter()
+        prev_pending = codec.decompress(
             [r["string_list"] for r in res], defer_fetch=True)
-        _ = pending.fetch()
+        t4 = time.perf_counter()
         handle = nxt
-        cycle_times.append(time.perf_counter() - t0)
+        fetch_s.append(t2 - t1)
+        finalize_s.append(t3 - t2)
+        decomp_s.append(t4 - t3)
+        cycle_times.append(t4 - t0)
+    t_drain0 = time.perf_counter()
+    _ = prev_pending.fetch()  # last batch's images
+    drain = time.perf_counter() - t_drain0
+    total_s = time.perf_counter() - t_all0
+    # the deferred fetch shifts one image-fetch out of the loop; fold the
+    # drain into the last cycle so every batch pays its full cost once
+    cycle_times[-1] += drain
+    fetch_s.append(drain)
     ips = BATCH / min(cycle_times)
     med_ips = BATCH / float(np.median(cycle_times))
 
@@ -139,10 +188,19 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(ips / TARGET, 3),
         "median": round(med_ips, 3),
+        "sustained": round(BATCH * n_batches / total_s, 3),
         "device_only": round(dev_ips, 3),
         "device_enc_s": round(dev["enc_s"], 3),
         "device_dec_s": round(dev["dec_s"], 3),
         "cycles_s": [round(t, 3) for t in cycle_times],
+        "fetch_s": [round(t, 3) for t in fetch_s],
+        "finalize_s": [round(t, 3) for t in finalize_s],
+        "decomp_s": [round(t, 3) for t in decomp_s],
+        "stream_mb_per_batch": round(stream_mb, 2),
+        "image_mb_per_batch": round(imgs.nbytes / 1e6, 2),
+        "link_mbps": {k: round(v, 1) for k, v in link.items()},
+        "backend": BACKEND,
+        "lanes": LANES,
     }))
 
 
