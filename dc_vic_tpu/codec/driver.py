@@ -197,7 +197,7 @@ class Codec:
                 # LUTs are captured as jit constants: commit them replicated
                 # so they co-locate with mesh-sharded arguments
                 for t in self._dtables.values():
-                    for name in ("pair_flat", "adv_flat", "val_flat",
+                    for name in ("pair_flat", "av_flat",
                                  "offsets", "maxv"):
                         setattr(t, name,
                                 jax.device_put(getattr(t, name), self._repl))

@@ -104,13 +104,13 @@ def section_lanes(n_symbols: int, cap: int = LANES) -> int:
 class DeviceCdfTable:
     """Device-resident CDF table, laid out for the TPU's memory system.
 
-    The decode scan's only table access is ONE dense uint32 gather per
-    symbol (state advance); the symbol value is a second dense gather that
-    happens OUTSIDE the sequential scan:
+    The decode scan's only table access is ONE contiguous 2-wide uint32
+    gather per symbol — the advance word and the symbol value share one
+    HBM transaction (av_flat[row, cum] = (adv, val)):
 
-      adv_flat[row, cum] = (cum - start(s)) | freq(s) << 16
-      val_flat[row, cum] = symbol + offset                  (in-range)
-                         | ESC_FLAG | maxv << 16 | (offset + 2^15)  (escape)
+      adv[row, cum] = (cum - start(s)) | freq(s) << 16
+      val[row, cum] = symbol + offset                  (in-range)
+                    | ESC_FLAG | maxv << 16 | (offset + 2^15)  (escape)
 
     The encoder's per-(row, value) (start | freq<<16) pair table is kept for
     the vectorized (non-sequential) encode precompute."""
@@ -142,11 +142,29 @@ class DeviceCdfTable:
             assert abs(offsets[r]) < (1 << 15) and maxv < (1 << 14)
             esc_entry = ESC_FLAG | (maxv << 16) | (offsets[r] + (1 << 15))
             val[r] = np.where(s == maxv, esc_entry, symv).astype(np.int32)
-        self.adv_flat = jnp.asarray(adv.reshape(-1))
-        self.val_flat = jnp.asarray(val.reshape(-1))
-
+        # Interleaved (adv, val) pair table for the decode scan: one
+        # contiguous 2-wide gather fetches BOTH per symbol (same HBM
+        # transaction — measured on chip at bench geometry the pair-gather
+        # scan is no slower than the adv-only scan, scripts/
+        # epilogue_probe.py P6), which deletes the dense per-symbol val
+        # gather from the decode epilogue entirely (~7 ms/section).
+        self.av_flat = jnp.asarray(
+            np.stack([adv.reshape(-1),
+                      val.reshape(-1).view(np.uint32)], axis=-1))
         self.offsets = jnp.asarray(offsets.astype(np.int32))
         self.maxv = jnp.asarray((lengths - 2).astype(np.int32))
+
+    @property
+    def adv_flat(self):
+        """Advance halves (probe-script compatibility view; the decode
+        path gathers from av_flat directly)."""
+        return self.av_flat[:, 0]
+
+    @property
+    def val_flat(self):
+        """Symbol-value halves as int32 (probe-script compatibility)."""
+        import jax as _jax
+        return _jax.lax.bitcast_convert_type(self.av_flat[:, 1], jnp.int32)
 
 
 def _row_lookup(idx: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
@@ -369,24 +387,27 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
         cum = x & jnp.uint32(0xFFFF)
         # the ONE random gather on the sequential critical path (an
         # optimization_barrier around it was A/B-tested: no effect —
-        # scripts/rans_sidechannel_probe.py items 2/3)
-        adv = jnp.take(table.adv_flat, rows_t + cum.astype(jnp.int32),
-                       mode="clip")
+        # scripts/rans_sidechannel_probe.py items 2/3). The 2-wide pair
+        # gather fetches the advance word AND the symbol value in the same
+        # HBM transaction (epilogue_probe.py P6: pair scan <= adv-only
+        # scan), so no separate dense val gather is needed afterwards.
+        both = jnp.take(table.av_flat, rows_t + cum.astype(jnp.int32),
+                        axis=0, mode="clip")
+        adv = both[..., 0]
         x = (adv >> 16) * (x >> 16) + (adv & jnp.uint32(0xFFFF))
         need = x < RANS_L
         pos = jnp.cumsum(need, axis=1, dtype=jnp.int32)
         widx = img_base[:, None] + cur[:, None] + pos - 1
         w = jnp.take(words, widx, mode="clip").astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | w, x)
-        return (x, cur + pos[:, -1]), cum.astype(jnp.uint16)
+        return (x, cur + pos[:, -1]), both[..., 1]
 
-    (x_fin, cursor), cums = jax.lax.scan(body, (x0, cursor), tr(tidx_rows),
+    (x_fin, cursor), vals = jax.lax.scan(body, (x0, cursor), tr(tidx_rows),
                                          unroll=scan_unroll())
 
-    # symbol values: one big gather OUTSIDE the scan (not latency-chained)
-    cums = tr(cums)                                   # [B, n, L]
-    val = jnp.take(table.val_flat,
-                   tidx_rows + cums.astype(jnp.int32), mode="clip")
+    # bitcast, not convert: val entries are int32 (symbol values can be
+    # negative) carried through the scan as uint32 pair halves
+    val = jax.lax.bitcast_convert_type(tr(vals), jnp.int32)   # [B, n, L]
     esc = val >= ESC_FLAG
 
     # side channel: tier-1 raws (1 word per escape, (step, lane) order),
@@ -413,9 +434,14 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
         hi = jnp.take(words, t2b + 2 * r2e - 1,
                       mode="clip").astype(jnp.uint32)
         raw_e = jnp.where(big_e, lo | (hi << 16), t1).astype(jnp.int32)
-        # dense rank -> raw mapping (the one remaining n*L-element gather)
-        raw = jnp.take_along_axis(raw_e, jnp.clip(r1 - 1, 0, E - 1),
-                                  axis=1).reshape(B, n, L)
+        # dense rank -> raw mapping (the one remaining n*L-element gather),
+        # as ONE flat take with folded row offsets: take_along_axis lowers
+        # to a batched gather that measured ~30% slower than the plain
+        # 1-D take at this shape (epilogue_probe.py P3 vs P3b)
+        e_off = (jnp.arange(B, dtype=jnp.int32) * E)[:, None]
+        raw = jnp.take(raw_e.reshape(-1),
+                       e_off + jnp.clip(r1 - 1, 0, E - 1),
+                       mode="clip").reshape(B, n, L)
         overflow = jnp.maximum(n_esc - E, 0)
         cursor = cursor + n_esc + 2 * n_big \
             + jnp.where(overflow > 0, ESC_POISON, 0)
