@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import Conv, FuseSftBlock, LightFuseSftBlock, num_groups32
+from ..nn.layers import (Conv, FuseSftBlock, GroupNorm, LightFuseSftBlock,
+                         num_groups32)
 from ..ops.vq import vq_argmin
 
 Dtype = Any
@@ -99,11 +100,9 @@ class VQResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         if _use_fused_resblock(x, self.out_ch):
             return self._fused(x, in_ch)
-        h = nn.GroupNorm(num_groups=num_groups32(in_ch), epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = swish(h)
+        h = GroupNorm(num_groups=num_groups32(in_ch), epsilon=1e-6, dtype=self.dtype, act="swish", name="norm1")(x)
         h = Conv(self.out_ch, 3, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=num_groups32(self.out_ch), epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
-        h = swish(h)
+        h = GroupNorm(num_groups=num_groups32(self.out_ch), epsilon=1e-6, dtype=self.dtype, act="swish", name="norm2")(h)
         h = Conv(self.out_ch, 3, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_ch:
             x = Conv(self.out_ch, 1, dtype=self.dtype, name="nin_shortcut")(x)
@@ -136,7 +135,7 @@ class VQAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=num_groups32(C), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = GroupNorm(num_groups=num_groups32(C), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         q = Conv(C, 1, dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
         k = Conv(C, 1, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
         v = Conv(C, 1, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
@@ -244,9 +243,8 @@ class VQEncoder(nn.Module):
         h = VQAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = VQResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
 
-        h = nn.GroupNorm(num_groups=num_groups32(h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
-                         name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm(num_groups=num_groups32(h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
+                      act="swish", name="norm_out")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return Conv(out_ch, 3, dtype=self.dtype, name="conv_out")(h)
 
@@ -315,9 +313,8 @@ class VQDecoder(nn.Module):
 
         if self.give_pre_end:
             return h
-        h = nn.GroupNorm(num_groups=num_groups32(h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
-                         name="norm_out")(h)
-        h = swish(h)
+        h = GroupNorm(num_groups=num_groups32(h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
+                      act="swish", name="norm_out")(h)
         h = Conv(self.out_ch, 3, dtype=self.dtype, name="conv_out")(h)
         if self.tanh_out:
             h = jnp.tanh(h)
