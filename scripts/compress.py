@@ -41,11 +41,14 @@ def parse_args():
     p.add_argument("--selfcheck", action="store_true",
                    help="verify decode-side latents match the encoder bit-exactly")
     p.add_argument("--batch_size", type=int, default=1)
-    p.add_argument("--portable", action="store_true",
+    p.add_argument("--portable", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="write batch-independent streams: any decoder "
                         "batch grouping reproduces the latents bit-exactly "
-                        "(canonical per-image entropy parameters; slightly "
-                        "slower encode)")
+                        "(canonical per-image entropy parameters — the "
+                        "reference's .bin files have this property, so it "
+                        "is the CLI default; --no-portable couples the "
+                        "stream to the encode batch for max throughput)")
     p.add_argument("--stream_format", type=str, default="tpu",
                    choices=["tpu", "compressai"],
                    help="tpu: device-coded streams (native, fastest); "
