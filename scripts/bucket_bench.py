@@ -95,10 +95,12 @@ def build_codec(tiny: bool):
         spec = build_comp_model(tiny_config())
     else:
         repo = os.path.join(os.path.dirname(__file__), "..")
-        opt = load_config(os.path.join(repo, "config",
-                                       "dc_vic_patchgan.yaml"),
-                          is_train=False)
-        spec = build_comp_model(opt["comp_model"])
+        cfg = load_config(os.path.join(repo, "config",
+                                       "dc_vic_patchgan.yaml"))
+        # same deployment mode as bench.py: bf16 conv stacks, entropy-
+        # critical path pinned f32 (DCVICModel.codec_dtype)
+        cfg["codec_dtype"] = "bfloat16"
+        spec = build_comp_model(cfg)
     params = jax.jit(lambda r, d: spec.module.init(
         {"params": r}, d, jnp.array([1.0]), jnp.array([1.0]),
         is_train=False))(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
