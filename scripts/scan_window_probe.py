@@ -75,10 +75,21 @@ def main():
         GaussianConditional(scale_bound=0.11).build_cdf_table(
             get_scale_table()))
     rows = table.adv_flat.size >> 16
+    offs = np.asarray(table.offsets)
+    maxv = np.asarray(table.maxv)
     rng = np.random.default_rng(0)
-    secs = [(jnp.asarray(rng.integers(-6, 7, (B, n, L)), jnp.int32),
-             jnp.asarray(rng.integers(0, rows, (B, n, L)), jnp.int32))
-            for _ in range(ns)]
+    # in-range symbols for each drawn CDF row, ~0.5% escapes: uniform
+    # [-6, 7) symbols against random rows escape on most small-scale rows,
+    # overflowing the sparse-epilogue escape cap (esc_cap = nL/8) — which
+    # poisons the decode cursor by design and fails the equality check.
+    secs = []
+    for _ in range(ns):
+        idx = rng.integers(0, rows, (B, n, L))
+        v = rng.integers(0, 1 << 30, (B, n, L)) % np.maximum(maxv[idx], 1)
+        esc = rng.random((B, n, L)) < 0.005
+        v = np.where(esc, maxv[idx] + rng.integers(1, 30, (B, n, L)), v)
+        secs.append((jnp.asarray(v + offs[idx], jnp.int32),
+                     jnp.asarray(idx, jnp.int32)))
     vals, mask = jax.jit(lambda s: encode_stream(list(s), table))(secs)
     packed, counts = jax.jit(pack_streams)(vals, mask)
     base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
