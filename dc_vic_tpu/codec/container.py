@@ -30,26 +30,33 @@ class HeaderHandler:
     def encode(img_size: Tuple[int, int], max_abs_y: int, quality_ind: int,
                tpu_format: bool = False, lanes: int = 128,
                esc_dense: bool = False, portable: bool = False,
-               encode_batch: int = 0) -> bytes:
+               encode_batch: int = 0, t2free: bool = False) -> bytes:
         """quality byte bit 7 marks the device-coded 'tpu' stream format
         (ops/rans_device.py), bit 6 the portable-stream mode; bits 0-5 are
         the quality index. For the tpu format the third byte carries log2
-        of the interleave-lane cap in bits 0-6 and, in bit 7, the
-        dense-escape flag: set when some section has more escapes than
+        of the interleave-lane cap in bits 0-5; bit 7 is the dense-escape
+        flag: set when some section has more escapes than
         ops/rans_device.esc_cap() so the decoder must use the dense
-        (uncapped) escape epilogue; two trailing bytes record the encode
-        batch size (the executable-lowering coupling a NON-portable decode
-        must match — driver.py; 0 = unknown). (The reference writes
-        max|y_hat| in byte 5 and never reads it back,
+        (uncapped) escape epilogue; bit 6 is the tier-2-free GUARANTEE: the
+        encoder certifies no escape spilled past its tier-1 word, so the
+        decoder may drop the tier-2 resolution from the escape epilogue
+        (decode_section tier2=False — a big win on escape-heavy streams;
+        rounds <= 4 wrote the bit as 0, which decodes conservatively). Two
+        trailing bytes record the encode batch size (the executable-lowering
+        coupling a NON-portable decode must match — driver.py; 0 = unknown).
+        (The reference writes max|y_hat| in byte 5 and never reads it back,
         src/utils/codec_utils.py)."""
         H, W = img_size
         if not 0 <= int(quality_ind) < 64:
             raise ValueError(
                 f"quality_ind {quality_ind} out of range [0, 64): bits 6-7 "
                 "of the quality byte are the portable/stream-format flags")
+        if tpu_format and int(lanes).bit_length() - 1 > 0x3F:
+            raise ValueError(f"lane cap {lanes} exceeds the header field")
         qb = (int(quality_ind) | (0x80 if tpu_format else 0)
               | (0x40 if portable else 0))
         b3 = ((int(lanes).bit_length() - 1) | (0x80 if esc_dense else 0)
+              | (0x40 if t2free else 0)
               if tpu_format else min(255, max(0, int(max_abs_y))))
         head = struct.pack("<HHBB", H, W, b3, qb)
         if tpu_format:
@@ -65,8 +72,12 @@ class HeaderHandler:
             (enc_b,) = struct.unpack("<H", header[6:8])
         return {"img_size": (H, W),
                 "max_sample": None if tpu else b3,
-                "lanes": (1 << (b3 & 0x7F)) if tpu else None,
+                "lanes": (1 << (b3 & 0x3F)) if tpu else None,
                 "esc_dense": bool(b3 & 0x80) if tpu else None,
+                # rounds <= 4 wrote bit 6 as 0 (lane log2 <= 7 never reached
+                # it), so legacy streams parse as "no guarantee" and decode
+                # through the conservative tier-2-resolving epilogue
+                "t2free": bool(b3 & 0x40) if tpu else None,
                 "quality_ind": qb & 0x3F,
                 "portable": bool(qb & 0x40),
                 "encode_batch": enc_b,

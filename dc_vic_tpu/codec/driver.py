@@ -453,7 +453,8 @@ class Codec:
             return dict(sym_plane=sym_plane, stats=stats)
         return jax.jit(f)
 
-    def _zdec_fn(self, B, zH, zW, lanes: int, sparse_esc: bool):
+    def _zdec_fn(self, B, zH, zW, lanes: int, sparse_esc: bool,
+                 tier2: bool = True):
         """z stream entropy decode: word buffer -> z symbols (int16) +
         consumed-words cursor. The cursor output doubles as the stream-
         integrity check AND keeps the scan carry live: with dead cursors the
@@ -470,7 +471,7 @@ class Codec:
                 (B, zH, zW, Cz)).reshape(B, -1, Lz)
             z_sym, z_cursor, _ = decode_section(
                 z_words, z_base, jnp.zeros((B,), jnp.int32), None, z_idx,
-                self._dtable("z"), sparse_esc=sparse_esc)
+                self._dtable("z"), sparse_esc=sparse_esc, tier2=tier2)
             return (z_sym.reshape(B, zH, zW, Cz).astype(jnp.int16),
                     z_cursor)
         # decode-pipeline entry: words/base are replicated, so pin the
@@ -478,7 +479,7 @@ class Codec:
         return jax.jit(f, out_shardings=self._shard0())
 
     def _ysec_fn(self, first: bool, B, yH, yW, sc, lanes: int,
-                 sparse_esc: bool):
+                 sparse_esc: bool, tier2: bool = True):
         """One y-stream section entropy decode: (words, cursor, lane states,
         cdf indexes) -> (symbols int16 [B, yH, yW, sc], cursor, states).
         first=True reads the stream's 2L flush words (chained format: lane
@@ -492,7 +493,7 @@ class Codec:
             idx = idx8.astype(jnp.int32).reshape(B, -1, L)
             sym, cursor2, state2 = decode_section(
                 y_words, y_base, cursor, None if first else state, idx,
-                self._dtable("y"), sparse_esc=sparse_esc)
+                self._dtable("y"), sparse_esc=sparse_esc, tier2=tier2)
             return (sym.reshape(B, yH, yW, sc).astype(jnp.int16),
                     cursor2, state2)
         return jax.jit(f)
@@ -813,18 +814,21 @@ class Codec:
         results = []
         for b in range(B):
             if tpu_host:
-                z_str, z_esc = z_futs[b].result()
-                y_str, y_esc = y_futs[b].result()
+                z_str, z_esc, z_t2 = z_futs[b].result()
+                y_str, y_esc, y_t2 = y_futs[b].result()
                 esc_dense = bool(self._esc_dense_flags(
                     handle, np.array([y_esc]), np.array([z_esc]))[0])
+                t2free = not (y_t2 or z_t2)
             else:
                 z_str = z_futs[b].result()
                 y_str = y_futs[b].result()
                 esc_dense = False
+                t2free = False
             header = HeaderHandler.encode((H, W), max_abs_y, quality_ind,
                                           tpu_format=tpu_host,
                                           lanes=self.lanes,
                                           esc_dense=esc_dense,
+                                          t2free=t2free,
                                           portable=self.portable,
                                           encode_batch=B)
             r = dict(
@@ -873,6 +877,12 @@ class Codec:
         y_escmax = stats[2 * B + 2 + 4 * B: 2 * B + 2 + 5 * B].astype(np.int64)
         z_escmax = stats[2 * B + 2 + 5 * B: 2 * B + 2 + 6 * B].astype(np.int64)
         from ..ops.rans_device import CLIP_POISON
+        # The fast pack is clipped=True: it emits NO tier-2 slots and poisons
+        # the escape counts if one would fire. No poison therefore CERTIFIES
+        # every stream in the batch tier-2-free (container t2free bit, which
+        # unlocks the decoder's epilogue fast path); the dense fallback
+        # carries tier-2 words, so its streams decode conservatively.
+        t2free = True
         if (y_escmax >= CLIP_POISON).any() or (z_escmax >= CLIP_POISON).any():
             # a tier-2 escape fired under the fast clipped pack (possible
             # only for pathological symbols whose zigzag exceeds 2^16) — the
@@ -888,6 +898,7 @@ class Codec:
             z_escmax = np.asarray(dense["z_escmax"]).astype(np.int64)
             out = dict(out, packed_y=dense["packed_y"],
                        packed_z=dense["packed_z"])
+            t2free = False
         esc_dense = self._esc_dense_flags(handle, y_escmax, z_escmax)
         if (y_counts.sum() > out["packed_y"].shape[0]
                 or z_counts.sum() > out["packed_z"].shape[0]):
@@ -914,6 +925,7 @@ class Codec:
                                           handle["quality_ind"],
                                           tpu_format=True, lanes=self.lanes,
                                           esc_dense=bool(esc_dense[b]),
+                                          t2free=t2free,
                                           portable=self.portable,
                                           encode_batch=B)
             r = dict(
@@ -979,7 +991,9 @@ class Codec:
             beta_vq=self.spec.quality_betas(q)[1], defer_fetch=defer_fetch,
             stream_format=fmt, lanes=headers[0]["lanes"],
             esc_dense=any(bool(h["esc_dense"]) for h in headers)
-            if fmt == "tpu" else False, portable=portable)
+            if fmt == "tpu" else False, portable=portable,
+            t2free=all(bool(h["t2free"]) for h in headers)
+            if fmt == "tpu" else False)
 
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
                        img_size: Tuple[int, int], beta_rate: float,
@@ -987,7 +1001,8 @@ class Codec:
                        stream_format: Optional[str] = None,
                        lanes: Optional[int] = None,
                        esc_dense: bool = False,
-                       portable: bool = False) -> np.ndarray:
+                       portable: bool = False,
+                       t2free: bool = False) -> np.ndarray:
         """defer_fetch=True returns a PendingImages handle with the d2h copy
         already started — call .fetch() later to overlap the transfer with
         the next batch's compute. portable=True decodes the entropy
@@ -1015,7 +1030,8 @@ class Codec:
                                         beta_vq, defer_fetch,
                                         lanes=lanes or self.lanes,
                                         esc_dense=esc_dense,
-                                        portable=portable, keep=keep)
+                                        portable=portable, keep=keep,
+                                        t2free=t2free)
 
         # z: factorized decode, one shot per image (parallel across images)
         z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
@@ -1104,7 +1120,8 @@ class Codec:
     def _decode_pipeline(self, z_words, z_base, y_words, y_base,
                          B, zH, zW, yH, yW, lanes: int, sparse_esc: bool,
                          recon: bool, b1, b2,
-                         portable: bool = False) -> Dict:
+                         portable: bool = False,
+                         tier2: bool = True) -> Dict:
         """tpu-format decode as a chain of executables: z scan -> hyper ->
         per-slice (shared params/step + y-section scan) -> optional
         reconstruction. All dispatches are async; nothing blocks until the
@@ -1116,12 +1133,12 @@ class Codec:
         if portable:
             return self._decode_pipeline_portable(
                 z_words, z_base, y_words, y_base, B, zH, zW, yH, yW,
-                lanes, sparse_esc, recon, b1, b2)
+                lanes, sparse_esc, recon, b1, b2, tier2=tier2)
         p = self.params
         Cy = self.module.bottleneck_y
-        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc),
+        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc, tier2),
                              lambda: self._zdec_fn(B, zH, zW, lanes,
-                                                   sparse_esc))
+                                                   sparse_esc, tier2))
         z_sym, z_cursor = zdec(z_words, z_base)
         hyper = self._get_jit(("hyper", z_sym.shape), self._hyper_decode_fn)
         ho, z_hat = hyper(p, z_sym)
@@ -1136,9 +1153,11 @@ class Codec:
             state = jnp.zeros((B, L), jnp.uint32)  # ignored by first=True
             for i in range(self.num_slices):
                 yd = self._get_jit(
-                    ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc),
+                    ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc,
+                     tier2),
                     lambda f=(i == 0): self._ysec_fn(f, B, yH, yW, sc,
-                                                     lanes, sparse_esc))
+                                                     lanes, sparse_esc,
+                                                     tier2))
                 sym, cursor, state = yd(y_words, y_base, cursor, state, idx)
                 sf = self._get_jit(("slice_s", i, (B, yH, yW)),
                                    lambda i=i: self._slice_step_fn(i))
@@ -1148,9 +1167,9 @@ class Codec:
             ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
             means, idx = ymi(p, ho)
             yd = self._get_jit(
-                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc),
+                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc, tier2),
                 lambda: self._ysec_fn(True, B, yH, yW, Cy, lanes,
-                                      sparse_esc))
+                                      sparse_esc, tier2))
             state = jnp.zeros(
                 (B, section_lanes(yH * yW * Cy, lanes)), jnp.uint32)
             sym, cursor, state = yd(y_words, y_base, cursor, state, idx)
@@ -1167,7 +1186,7 @@ class Codec:
     def _decode_pipeline_portable(self, z_words, z_base, y_words, y_base,
                                   B, zH, zW, yH, yW, lanes: int,
                                   sparse_esc: bool, recon: bool,
-                                  b1, b2) -> Dict:
+                                  b1, b2, tier2: bool = True) -> Dict:
         """Portable-stream decode: the z/y entropy scans run batched (pure
         integer programs — exact under any lowering), but every FLOAT that
         gates symbol interpretation (hyper_out, per-slice mu, y_hat_prev,
@@ -1182,9 +1201,9 @@ class Codec:
         def stk(parts):
             return parts[0] if B == 1 else stack(*parts)
 
-        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc),
+        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc, tier2),
                              lambda: self._zdec_fn(B, zH, zW, lanes,
-                                                   sparse_esc))
+                                                   sparse_esc, tier2))
         z_sym, z_cursor = zdec(z_words, z_base)
         hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
                               self._hyper_decode_fn)
@@ -1209,9 +1228,11 @@ class Codec:
             state = jnp.zeros((B, L), jnp.uint32)  # ignored by first=True
             for i in range(self.num_slices):
                 yd = self._get_jit(
-                    ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc),
+                    ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc,
+                     tier2),
                     lambda f=(i == 0): self._ysec_fn(f, B, yH, yW, sc,
-                                                     lanes, sparse_esc))
+                                                     lanes, sparse_esc,
+                                                     tier2))
                 sym, cursor, state = yd(y_words, y_base, cursor, state,
                                         stk(idxs))
                 sf = self._get_jit(("slice_s", i, (1, yH, yW)),
@@ -1228,9 +1249,9 @@ class Codec:
                 means.append(m_b)
                 idxs.append(i_b)
             yd = self._get_jit(
-                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc),
+                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc, tier2),
                 lambda: self._ysec_fn(True, B, yH, yW, Cy, lanes,
-                                      sparse_esc))
+                                      sparse_esc, tier2))
             state = jnp.zeros(
                 (B, section_lanes(yH * yW * Cy, lanes)), jnp.uint32)
             sym, cursor, state = yd(y_words, y_base, cursor, state,
@@ -1252,7 +1273,8 @@ class Codec:
                         lanes: Optional[int] = None,
                         esc_dense: bool = False,
                         portable: bool = False,
-                        keep: Optional[int] = None):
+                        keep: Optional[int] = None,
+                        t2free: bool = False):
         """Decode device-coded streams: upload the word buffers, run the
         shared-executable pipeline (z decode -> hyper -> ChARM chain with
         device rANS sections -> reconstruction), download flat uint8 pixels.
@@ -1280,7 +1302,7 @@ class Codec:
                                     B, zH, zW, yH, yW, lanes,
                                     sparse_esc=not esc_dense,
                                     recon=recon, b1=b1, b2=b2,
-                                    portable=portable)
+                                    portable=portable, tier2=not t2free)
         check = lambda: self._check_consumed(out["consumed_words"],
                                              z_strs, y_strs)
         if include_latents:
@@ -1361,12 +1383,16 @@ class Codec:
         esc_dense = any(
             bool(HeaderHandler.decode(r["string_list"][0])["esc_dense"])
             for r in res)
+        t2free = all(
+            bool(HeaderHandler.decode(r["string_list"][0])["t2free"])
+            for r in res)
 
         def run_dec():
             out = self._decode_pipeline(z_words, z_base, y_words, y_base,
                                         B, zH, zW, yH, yW, self.lanes,
                                         sparse_esc=not esc_dense,
-                                        recon=True, b1=b1, b2=b2)
+                                        recon=True, b1=b1, b2=b2,
+                                        tier2=not t2free)
             return jax.block_until_ready((out["img"],
                                           out["consumed_words"]))
         run_dec()
@@ -1389,10 +1415,11 @@ class Codec:
         from ..ops.rans_device import ESC_POISON
         if np.any(got >= ESC_POISON):
             raise RuntimeError(
-                "tpu-format decode escape-table overflow: a section has "
-                "more escapes than the sparse epilogue's capacity but the "
-                "stream's dense-escape header flag is unset — corrupt "
-                "stream or mis-flagged encoder")
+                "tpu-format decode escape-epilogue poison: a section has "
+                "more escapes than the sparse epilogue's capacity, or a "
+                "tier-2 escape word appeared in a stream whose header "
+                "certifies it tier-2-free — corrupt stream or mis-flagged "
+                "encoder")
         want_z = np.array([len(s) // 2 for s in z_strs], got.dtype)
         want_y = np.array([len(s) // 2 for s in y_strs], got.dtype)
         if not (np.array_equal(got[0], want_z)
@@ -1427,6 +1454,9 @@ class Codec:
                 (H, W), br, bv, include_latents=True, lanes=hdr["lanes"],
                 esc_dense=any(
                     bool(HeaderHandler.decode(s[0])["esc_dense"])
+                    for s in string_lists),
+                t2free=all(
+                    bool(HeaderHandler.decode(s[0])["t2free"])
                     for s in string_lists),
                 portable=portable)
             y_hat = np.asarray(out["y_hat"])

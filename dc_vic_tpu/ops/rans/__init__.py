@@ -152,9 +152,11 @@ def tpu_encode_sections(sections, table: CdfTable,
     sections: list of (symbols [n, L], indexes [n, L]) in decode order
     (e.g. one per ChARM slice), all with the same L. Lane states chain
     across sections: one 2L-word flush for the whole stream.
-    return_esc_max=True returns (bytes, max per-section escape count) — the
-    driver compares the count to ops/rans_device.esc_cap() to pick the
-    decode graph's escape-epilogue variant (container header flag)."""
+    return_esc_max=True returns (bytes, max per-section escape count,
+    has_tier2) — the driver compares the count to ops/rans_device.esc_cap()
+    to pick the decode graph's escape-epilogue variant, and writes the
+    container's tier-2-free guarantee bit when has_tier2 is False (both
+    container header flags)."""
     lib = _load()
     syms, idxs, sec_n = [], [], []
     L = None
@@ -178,7 +180,11 @@ def tpu_encode_sections(sections, table: CdfTable,
         _u16p(out), cap, _i32p(esc_max))
     assert r >= 0, "tpu stream encode overflow (cap bug)"
     data = out[:r].tobytes()
-    return (data, int(esc_max[0])) if return_esc_max else data
+    if not return_esc_max:
+        return data
+    ESC_HAS_T2 = 1 << 28  # mirrors rans.cpp kEscHasTier2
+    raw = int(esc_max[0])
+    return data, raw & ~ESC_HAS_T2, bool(raw & ESC_HAS_T2)
 
 
 def tpu_decode_stream(words: np.ndarray, index_sections, table: CdfTable):

@@ -337,6 +337,7 @@ void dcvic_rans_decode_with_indexes(const uint8_t *stream, int stream_len,
 namespace {
 constexpr uint32_t kTpuL = 1u << 16;
 constexpr uint32_t kTier1Marker = 0xFFFFu;
+constexpr int32_t kEscHasTier2 = 1 << 28;  // esc_max_out flag bit
 }  // namespace
 
 extern "C" {
@@ -352,7 +353,11 @@ extern "C" {
 // esc_max_out (nullable): receives the max per-section escape count, which
 // the driver compares against ops/rans_device.esc_cap() to decide whether
 // the device decoder's sparse escape epilogue is exact for this stream
-// (container header dense-escape flag).
+// (container header dense-escape flag). Bit 28 (kEscHasTier2) is set when
+// ANY tier-2 word was emitted — its absence lets the driver write the
+// container's tier-2-free guarantee bit, which deletes the tier-2
+// resolution from the device decode epilogue (ops/rans_device.py
+// decode_section tier2=False).
 int dcvic_tpu_encode_stream(const int32_t *sym, const int32_t *idx,
                             const int32_t *sec_n, int n_sections, int L,
                             const void *table, uint16_t *out, int cap,
@@ -396,12 +401,14 @@ int dcvic_tpu_encode_stream(const int32_t *sym, const int32_t *idx,
   }
   if (esc_max_out != nullptr) {
     int32_t esc_max = 0;
+    bool has_t2 = false;
     for (int s = 0; s < n_sections; ++s) {
       const size_t n1 = tier1[s].size();
       if (static_cast<int32_t>(n1) > esc_max)
         esc_max = static_cast<int32_t>(n1);
+      has_t2 |= !tier2[s].empty();
     }
-    *esc_max_out = esc_max;
+    *esc_max_out = esc_max | (has_t2 ? kEscHasTier2 : 0);
   }
 
   // reverse rANS pass, chained lane states (escape bins, no bypass words)

@@ -349,7 +349,7 @@ def pack_streams(vals: jnp.ndarray, mask: jnp.ndarray
 def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
                    cursor: jnp.ndarray, state: jnp.ndarray,
                    idx: jnp.ndarray, table: DeviceCdfTable,
-                   sparse_esc: bool = False
+                   sparse_esc: bool = False, tier2: bool = True
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode one section: idx [B, n, L] int32 -> symbols [B, n, L] int32.
 
@@ -364,7 +364,15 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     escape table (esc_cap(n*L) entries) instead of three dense n*L-element
     gathers — exact whenever every image's section has at most esc_cap
     escapes, and poisons the cursor with ESC_POISON otherwise (the encoder
-    flags such streams so the driver picks the dense variant up front).
+    flags such streams so the driver picks the dense variant up front);
+    tier2=False: the stream is GUARANTEED tier-2-free (container header
+    t2free bit — the codec's symbolizers clip to +-32000, so every escape
+    zigzag fits one tier-1 word), which deletes the tier-2 resolution from
+    the epilogue: 2 of the 3 dense n*L gathers and one full-plane cumsum in
+    the dense variant. TPU random gathers serialize per element, so on
+    escape-heavy streams this is most of the epilogue. A violated guarantee
+    (a tier-1 word holding the 0xFFFF marker) poisons the cursor instead of
+    decoding garbage.
     Returns (symbols, new_cursor, final lane states [B, L])."""
     B, n, L = idx.shape
     tidx_rows = idx * (1 << PRECISION)  # [B, n, L], add cum at runtime
@@ -426,14 +434,21 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
                       mode="clip").astype(jnp.uint32)           # [B, E]
         valid = e_ar[None, :] < n_esc[:, None]
         big_e = valid & (t1 == TIER1_MARKER)
-        r2e = jnp.cumsum(big_e, axis=1, dtype=jnp.int32)
-        n_big = r2e[:, -1]
-        t2b = img_base[:, None] + (cursor + n_esc)[:, None]
-        lo = jnp.take(words, t2b + 2 * r2e - 2,
-                      mode="clip").astype(jnp.uint32)
-        hi = jnp.take(words, t2b + 2 * r2e - 1,
-                      mode="clip").astype(jnp.uint32)
-        raw_e = jnp.where(big_e, lo | (hi << 16), t1).astype(jnp.int32)
+        if tier2:
+            r2e = jnp.cumsum(big_e, axis=1, dtype=jnp.int32)
+            n_big = r2e[:, -1]
+            t2b = img_base[:, None] + (cursor + n_esc)[:, None]
+            lo = jnp.take(words, t2b + 2 * r2e - 2,
+                          mode="clip").astype(jnp.uint32)
+            hi = jnp.take(words, t2b + 2 * r2e - 1,
+                          mode="clip").astype(jnp.uint32)
+            raw_e = jnp.where(big_e, lo | (hi << 16), t1).astype(jnp.int32)
+            t2_words = 2 * n_big
+        else:
+            # guaranteed tier-2-free: a marker word means the guarantee was
+            # violated — poison instead of decoding a garbage raw
+            raw_e = t1.astype(jnp.int32)
+            t2_words = ESC_POISON * jnp.any(big_e, axis=1).astype(jnp.int32)
         # dense rank -> raw mapping (the one remaining n*L-element gather),
         # as ONE flat take with folded row offsets: take_along_axis lowers
         # to a batched gather that measured ~30% slower than the plain
@@ -443,20 +458,28 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
                        e_off + jnp.clip(r1 - 1, 0, E - 1),
                        mode="clip").reshape(B, n, L)
         overflow = jnp.maximum(n_esc - E, 0)
-        cursor = cursor + n_esc + 2 * n_big \
+        cursor = cursor + n_esc + t2_words \
             + jnp.where(overflow > 0, ESC_POISON, 0)
     else:
         w1 = jnp.take(words, img_base[:, None] + cursor[:, None] + r1 - 1,
                       mode="clip").astype(jnp.uint32)
-        big = esc_f & (w1 == TIER1_MARKER)
-        r2 = jnp.cumsum(big, axis=1, dtype=jnp.int32)
-        n_big = r2[:, -1]
-        t2b = img_base[:, None] + (cursor + n_esc)[:, None]
-        lo = jnp.take(words, t2b + 2 * r2 - 2, mode="clip").astype(jnp.uint32)
-        hi = jnp.take(words, t2b + 2 * r2 - 1, mode="clip").astype(jnp.uint32)
-        raw = jnp.where(big, lo | (hi << 16), w1).astype(jnp.int32)
+        if tier2:
+            big = esc_f & (w1 == TIER1_MARKER)
+            r2 = jnp.cumsum(big, axis=1, dtype=jnp.int32)
+            n_big = r2[:, -1]
+            t2b = img_base[:, None] + (cursor + n_esc)[:, None]
+            lo = jnp.take(words, t2b + 2 * r2 - 2,
+                          mode="clip").astype(jnp.uint32)
+            hi = jnp.take(words, t2b + 2 * r2 - 1,
+                          mode="clip").astype(jnp.uint32)
+            raw = jnp.where(big, lo | (hi << 16), w1).astype(jnp.int32)
+            t2_words = 2 * n_big
+        else:
+            raw = w1.astype(jnp.int32)
+            bad = esc_f & (w1 == TIER1_MARKER)
+            t2_words = ESC_POISON * jnp.any(bad, axis=1).astype(jnp.int32)
         raw = raw.reshape(B, n, L)
-        cursor = cursor + n_esc + 2 * n_big
+        cursor = cursor + n_esc + t2_words
 
     off = (val & 0xFFFF) - (1 << 15)
     maxv = (val >> 16) & 0x3FFF

@@ -44,23 +44,29 @@ def codec(request, built):
 def test_header_roundtrip():
     for fmt in (False, True):
         for portable in (False, True):
-            h = HeaderHandler.encode((768, 512), 17, 3, tpu_format=fmt,
-                                     lanes=512, portable=portable,
-                                     encode_batch=16)
-            # compressai headers keep the reference's 6-byte layout; tpu
-            # headers append a uint16 encode-batch field
-            assert len(h) == (8 if fmt else 6)
-            d = HeaderHandler.decode(h)
-            assert d["img_size"] == (768, 512)
-            assert d["quality_ind"] == 3
-            assert d["portable"] is portable
-            assert d["stream_format"] == ("tpu" if fmt else "compressai")
-            if fmt:
-                assert d["lanes"] == 512 and d["max_sample"] is None
-                assert d["encode_batch"] == 16
-            else:
-                assert d["max_sample"] == 17 and d["lanes"] is None
-                assert d["encode_batch"] is None
+            for t2free, esc_dense in ((False, False), (True, False),
+                                      (False, True), (True, True)):
+                h = HeaderHandler.encode((768, 512), 17, 3, tpu_format=fmt,
+                                         lanes=512, portable=portable,
+                                         esc_dense=esc_dense, t2free=t2free,
+                                         encode_batch=16)
+                # compressai headers keep the reference's 6-byte layout; tpu
+                # headers append a uint16 encode-batch field
+                assert len(h) == (8 if fmt else 6)
+                d = HeaderHandler.decode(h)
+                assert d["img_size"] == (768, 512)
+                assert d["quality_ind"] == 3
+                assert d["portable"] is portable
+                assert d["stream_format"] == ("tpu" if fmt else "compressai")
+                if fmt:
+                    assert d["lanes"] == 512 and d["max_sample"] is None
+                    assert d["encode_batch"] == 16
+                    assert d["esc_dense"] is esc_dense
+                    assert d["t2free"] is t2free
+                else:
+                    assert d["max_sample"] == 17 and d["lanes"] is None
+                    assert d["encode_batch"] is None
+                    assert d["t2free"] is None
 
 
 def test_header_legacy_6byte_tpu():
@@ -73,6 +79,8 @@ def test_header_legacy_6byte_tpu():
     assert d["stream_format"] == "tpu"
     assert d["lanes"] == 512 and d["quality_ind"] == 2
     assert d["portable"] is False and d["encode_batch"] is None
+    # legacy streams carry no tier-2-free guarantee: decode conservatively
+    assert d["t2free"] is False
 
 
 def test_header_quality_range():
@@ -100,6 +108,24 @@ def test_compress_decompress_bit_exact(codec):
     out = codec.decompress([r["string_list"] for r in res])
     assert out.shape == img.shape
     assert out.dtype == np.uint8
+
+
+def test_tpu_streams_carry_t2free_guarantee(codec):
+    """Production tpu streams (clipped symbolizers) must certify themselves
+    tier-2-free so the decoder's fast escape epilogue engages — and the
+    roundtrip through that fast path must stay bit-exact (the decompress in
+    test_compress_decompress_bit_exact already runs it; this pins the flag
+    itself so a silently-cleared bit can't regress the fast path to the
+    conservative one without failing)."""
+    if codec.stream_format != "tpu":
+        pytest.skip("t2free is a tpu-format header bit")
+    rng = np.random.default_rng(6)
+    img = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    res = codec.compress(img, quality_ind=1, debug=True)
+    for r in res:
+        assert HeaderHandler.decode(r["string_list"][0])["t2free"] is True
+    assert codec.verify_roundtrip(res, [r["string_list"] for r in res],
+                                  (64, 64))
 
 
 def test_decoded_y_hat_matches_encoder(codec):

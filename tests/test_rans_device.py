@@ -342,6 +342,73 @@ def test_clipped_encode_matches_dense_and_counts_escapes():
     np.testing.assert_array_equal(got[:, 1], want)
 
 
+def test_tier2_free_decode_matches():
+    """tier2=False (container t2free guarantee) must decode tier-1-only
+    streams bit-exactly in BOTH escape-epilogue variants — including
+    escape-heavy planes like the PRNG-weight bench streams, which is the
+    case the fast path exists for."""
+    table = _gaussian_table()
+    rng = np.random.default_rng(21)
+    B, N = 2, 4096
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    sym = np.round(rng.normal(0, 1.5, (B, N))).astype(np.int32)
+    # 15% escapes (within esc_cap for the sparse variant), all tier-1
+    hot = rng.random((B, N)) < 0.15
+    sym = np.where(hot, rng.integers(-20000, 20000, (B, N)),
+                   sym).astype(np.int32)
+    dt, words, base, L, counts = _encode_for_decode(sym, idx, table)
+    for sparse in (False, True):
+        dec, cursor, _ = decode_section(
+            words, base, jnp.zeros((B,), jnp.int32), None,
+            jnp.asarray(idx.reshape(B, -1, L)), dt,
+            sparse_esc=sparse, tier2=False)
+        assert np.array_equal(np.asarray(dec).reshape(B, -1), sym), sparse
+        assert np.array_equal(np.asarray(cursor), counts), sparse
+
+
+def test_tier2_free_violation_poisons():
+    """A tier-2 marker word in a stream decoded under the tier-2-free
+    guarantee must poison the cursor (loud integrity failure) instead of
+    decoding a garbage raw; the clean image in the same batch still decodes
+    exactly."""
+    table = _gaussian_table()
+    rng = np.random.default_rng(22)
+    B, N = 2, 512
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    sym = np.round(rng.normal(0, 1.5, (B, N))).astype(np.int32)
+    sym[1, 7] = 50000  # zigzag >= 2^16: emits a tier-2 pair
+    dt, words, base, L, counts = _encode_for_decode(sym, idx, table)
+    for sparse in (False, True):
+        dec, cursor, _ = decode_section(
+            words, base, jnp.zeros((B,), jnp.int32), None,
+            jnp.asarray(idx.reshape(B, -1, L)), dt,
+            sparse_esc=sparse, tier2=False)
+        cur = np.asarray(cursor)
+        assert cur[1] >= ESC_POISON, sparse
+        assert cur[0] == counts[0], sparse
+        assert np.array_equal(np.asarray(dec)[0].reshape(-1), sym[0]), sparse
+
+
+def test_host_encoder_reports_tier2_presence():
+    """The C host encoder's esc_max output must carry the has-tier-2 flag
+    the driver turns into the container's t2free guarantee bit."""
+    from dc_vic_tpu.ops.rans import tpu_encode_sections
+    table = _gaussian_table()
+    rng = np.random.default_rng(23)
+    n, L = 64, 8
+    idx = rng.integers(0, 4, (n, L)).astype(np.int32)
+    small = rng.integers(-300, 300, (n, L)).astype(np.int32)
+    data, esc, has_t2 = tpu_encode_sections([(small, idx)], table,
+                                            return_esc_max=True)
+    assert esc > 0 and has_t2 is False
+    big = small.copy()
+    big[0, 0] = 60000  # zigzag >= 2^16
+    data2, esc2, has_t2b = tpu_encode_sections([(big, idx)], table,
+                                               return_esc_max=True)
+    assert has_t2b is True
+    assert esc2 < (1 << 28), "flag bit must be stripped from the count"
+
+
 def test_clipped_encode_poisons_on_tier2():
     """A symbol whose escape zigzag needs two words (raw >= 2^16) under
     clipped=True must poison the escape count so the driver re-packs dense
