@@ -121,6 +121,7 @@ def build_comp_model(opt, dtype=None) -> CompModelSpec:
         gumbel_sampling=model_cfg.get("gumbel_sampling", False),
         dtype=dtype,
         codec_dtype=opt.get("codec_dtype"),
+        entropy_precision=opt.get("entropy_precision", "high"),
     )
 
     max_b1 = enc_kw.get("max_beta_1", 3.0) if use_beta else 0.0

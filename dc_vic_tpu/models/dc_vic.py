@@ -123,6 +123,16 @@ class DCVICModel(nn.Module):
     # and decode graphs or the stream corrupts. "bfloat16" is the TPU
     # deployment mode; None keeps everything in f32.
     codec_dtype: Optional[str] = None
+    # MXU pass count for the entropy-parameter convs (hyperdecoder, ChARM
+    # slice transforms): "high" = faithful-f32 3-pass decomposition (the
+    # default; required for compressai/CPU-parity streams), "default" =
+    # single-pass bf16 multiplies — the fast TPU deployment mode. Safe for
+    # the tpu stream format because encoder and decoder derive mu/sigma
+    # from the SAME lowered executables (codec/driver.py shared-executable
+    # design), so streams stay self-consistent; both sides must be built
+    # with the same setting (it is part of the model config, like the
+    # architecture itself).
+    entropy_precision: Optional[str] = "high"
 
     def setup(self):
         cd = jnp.bfloat16 if self.codec_dtype == "bfloat16" else self.dtype
@@ -136,16 +146,16 @@ class DCVICModel(nn.Module):
             dtype=cd, name="hyperencoder",
             **dict(self.hyperencoder_cfg or {}))
         self.hyperdecoder = HYPERDECODER_REGISTRY.get(self.hyperdecoder_type)(
-            dtype=self.dtype, name="hyperdecoder",
-            **dict(self.hyperdecoder_cfg or {}))
+            dtype=self.dtype, precision=self.entropy_precision,
+            name="hyperdecoder", **dict(self.hyperdecoder_cfg or {}))
 
         self.entropy_z = EntropyBottleneck(self.bottleneck_z, name="entropy_z")
         self.gaussian = GaussianConditional(scale_bound=self.scale_bound)
         if self.use_charm:
             self.context_model = Minnen20CharmContextModel(
                 bottleneck_y=self.bottleneck_y, gaussian=self.gaussian,
-                dtype=self.dtype, name="context_model",
-                **dict(self.context_cfg or {}))
+                dtype=self.dtype, precision=self.entropy_precision,
+                name="context_model", **dict(self.context_cfg or {}))
 
         self.vq_estimator = DualBlockSwinVqEstimator(
             n_embed=self.n_embed, embed_dim=self.embed_dim, dtype=cd,

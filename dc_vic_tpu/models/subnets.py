@@ -531,19 +531,22 @@ class Minnen20HyperEncoder(nn.Module):
 
 
 class _HyperDecoderBlock(nn.Module):
-    """Entropy-critical: precision="high" (see SliceTransform note)."""
+    """Entropy-critical: precision defaults to "high" (see SliceTransform
+    note; "default" is the opt-in single-pass-bf16 deployment mode)."""
     out_ch: int
     dtype: Optional[Dtype] = None
+    precision: Optional[str] = "high"
 
     @nn.compact
     def __call__(self, z):
         from ..nn.layers import DeconvTorch
         d = self.dtype
-        z = nn.relu(DeconvTorch(192, 5, dtype=d, precision="high",
+        pr = self.precision
+        z = nn.relu(DeconvTorch(192, 5, dtype=d, precision=pr,
                                 name="conv1")(z))
-        z = nn.relu(DeconvTorch(256, 5, dtype=d, precision="high",
+        z = nn.relu(DeconvTorch(256, 5, dtype=d, precision=pr,
                                 name="conv2")(z))
-        return Conv(self.out_ch, 3, dtype=d, precision="high",
+        return Conv(self.out_ch, 3, dtype=d, precision=pr,
                     name="conv3")(z)
 
 
@@ -552,11 +555,14 @@ class Minnen20HyperDecoder(nn.Module):
     """Two deconv towers -> concat(mu, std) [B, h, w, hyper_out_ch]."""
     hyper_out_ch: int = 256
     dtype: Optional[Dtype] = None
+    precision: Optional[str] = "high"
 
     @nn.compact
     def __call__(self, z):
-        mu = _HyperDecoderBlock(self.hyper_out_ch // 2, self.dtype, name="hd_mu")(z)
-        std = _HyperDecoderBlock(self.hyper_out_ch // 2, self.dtype, name="hd_std")(z)
+        mu = _HyperDecoderBlock(self.hyper_out_ch // 2, self.dtype,
+                                self.precision, name="hd_mu")(z)
+        std = _HyperDecoderBlock(self.hyper_out_ch // 2, self.dtype,
+                                 self.precision, name="hd_std")(z)
         return jnp.concatenate([mu, std], axis=-1)
 
 
@@ -575,17 +581,18 @@ class Balle18HyperEncoder(nn.Module):
 
 @HYPERDECODER_REGISTRY.register()
 class Balle18HyperDecoder(nn.Module):
-    """Entropy-critical: precision="high" (see SliceTransform note)."""
+    """Entropy-critical: precision defaults to "high" (SliceTransform note)."""
     hyper_out_ch: int = 256
     dtype: Optional[Dtype] = None
+    precision: Optional[str] = "high"
 
     @nn.compact
     def __call__(self, z):
         from ..nn.layers import DeconvTorch
-        d = self.dtype
-        z = nn.relu(DeconvTorch(192, 5, dtype=d, precision="high")(z))
-        z = nn.relu(DeconvTorch(256, 5, dtype=d, precision="high")(z))
-        return Conv(self.hyper_out_ch, 3, dtype=d, precision="high")(z)
+        d, pr = self.dtype, self.precision
+        z = nn.relu(DeconvTorch(192, 5, dtype=d, precision=pr)(z))
+        z = nn.relu(DeconvTorch(256, 5, dtype=d, precision=pr)(z))
+        return Conv(self.hyper_out_ch, 3, dtype=d, precision=pr)(z)
 
 
 # =============================================================================
@@ -594,23 +601,35 @@ class Balle18HyperDecoder(nn.Module):
 # =============================================================================
 
 class SliceTransform(nn.Module):
-    """Entropy-critical (mu/sigma/LRP): convs run at precision="high" —
-    a faithful f32 decomposition instead of JAX's default single-pass bf16 multiplies (max rel err ~2^-21 vs ~2^-8). These
-    values gate rANS indexes; bf16-mantissa rounding here is both an
-    accuracy loss vs the f32 reference and the divergence amplifier behind
-    the round-3 stream desync (PERF.md §8b). Planes are tiny (yH x yW)."""
+    """Entropy-critical (mu/sigma/LRP): convs default to precision="high" —
+    a faithful f32 decomposition instead of JAX's default single-pass bf16
+    multiplies (max rel err ~2^-21 vs ~2^-8). These values gate rANS
+    indexes; bf16-mantissa rounding here is both an accuracy loss vs the
+    f32 reference and the divergence amplifier behind the round-3 stream
+    desync (PERF.md §8b).
+
+    precision="default" (single-pass bf16) is the opt-in TPU deployment
+    mode (model config `entropy_precision: default`): under the
+    shared-executable codec the encode and decode sides call the SAME
+    lowered executable, so the coarser multiplies stay bitwise-consistent
+    between the two — streams remain self-consistent and roundtrips
+    bit-exact. The cost is accuracy-vs-f32 (a slightly different, equally
+    valid codec — both sides must be built with the same setting; the
+    compressai/CPU-parity format keeps "high"). The ~10 TFLOP/batch of
+    5x5 slice convs then run one MXU pass instead of three."""
     out_ch: int
     mid_ch: Tuple[int, int] = (224, 128)  # reference widths (ms2020)
     dtype: Optional[Dtype] = None
+    precision: Optional[str] = "high"
 
     @nn.compact
     def __call__(self, x):
-        d = self.dtype
-        x = nn.relu(Conv(self.mid_ch[0], 5, dtype=d, precision="high",
+        d, pr = self.dtype, self.precision
+        x = nn.relu(Conv(self.mid_ch[0], 5, dtype=d, precision=pr,
                          name="conv1")(x))
-        x = nn.relu(Conv(self.mid_ch[1], 5, dtype=d, precision="high",
+        x = nn.relu(Conv(self.mid_ch[1], 5, dtype=d, precision=pr,
                          name="conv2")(x))
-        return Conv(self.out_ch, 3, dtype=d, precision="high",
+        return Conv(self.out_ch, 3, dtype=d, precision=pr,
                     name="conv3")(x)
 
 
@@ -633,19 +652,24 @@ class Minnen20CharmContextModel(nn.Module):
     slice_mid_ch: Tuple[int, int] = (224, 128)
     gaussian: GaussianConditional = GaussianConditional()
     dtype: Optional[Dtype] = None
+    precision: Optional[str] = "high"  # see SliceTransform
 
     def setup(self):
         assert self.bottleneck_y % self.num_slices == 0
         self.slice_ch = self.bottleneck_y // self.num_slices
         mid = tuple(self.slice_mid_ch)
+        pr = self.precision
         self.mean_transforms = [
-            SliceTransform(self.slice_ch, mid, self.dtype, name=f"mean_{i}")
+            SliceTransform(self.slice_ch, mid, self.dtype, pr,
+                           name=f"mean_{i}")
             for i in range(self.num_slices)]
         self.scale_transforms = [
-            SliceTransform(self.slice_ch, mid, self.dtype, name=f"scale_{i}")
+            SliceTransform(self.slice_ch, mid, self.dtype, pr,
+                           name=f"scale_{i}")
             for i in range(self.num_slices)]
         self.lrp_transforms = [
-            SliceTransform(self.slice_ch, mid, self.dtype, name=f"lrp_{i}")
+            SliceTransform(self.slice_ch, mid, self.dtype, pr,
+                           name=f"lrp_{i}")
             for i in range(self.num_slices)]
 
     def _supports(self, y_hat_slices: List[jnp.ndarray]) -> List[jnp.ndarray]:

@@ -279,6 +279,39 @@ def test_codec_dtype_bf16_roundtrip():
                                   (96, 80))
 
 
+def test_entropy_precision_default_roundtrip():
+    """entropy_precision="default" (single-pass bf16 entropy-parameter
+    convs — the fast TPU deployment mode) must still roundtrip bit-exactly:
+    encode and decode derive mu/sigma from the same lowered executables, so
+    the coarser multiplies are consistent on both sides. Also pins that the
+    setting actually changes the model (different streams vs "high"), so a
+    silently-ignored config key can't fake this test out."""
+    from helpers import tiny_config
+    cfg = tiny_config()
+    cfg["codec_dtype"] = "bfloat16"
+    rng = jax.random.PRNGKey(0)
+    beta = jnp.array([1.0])
+    img = np.random.default_rng(5).integers(0, 256, (2, 96, 80, 3), np.uint8)
+    streams = {}
+    for pr in ("high", "default"):
+        cfg["entropy_precision"] = pr
+        spec = build_comp_model(cfg)
+        params = jax.jit(
+            lambda r, xx: spec.module.init({"params": r}, xx, beta, beta,
+                                           is_train=False))(
+            rng, jnp.zeros((1, 64, 64, 3)))
+        codec = Codec(spec, params, stream_format="tpu",
+                      encode_backend="device")
+        res = codec.compress(img, quality_ind=1, debug=True)
+        assert codec.verify_roundtrip(res, [r["string_list"] for r in res],
+                                      (96, 80))
+        streams[pr] = [bytes(s) for r in res for s in r["string_list"]]
+    # On CPU both precisions lower to the same f32 dot, so equal streams are
+    # expected there; on TPU the bf16 single-pass mode must differ.
+    if jax.default_backend() == "tpu":
+        assert streams["high"] != streams["default"]
+
+
 def test_pathological_symbols_clip_consistently(codec):
     """Inputs that drive |symbol| beyond the int16 transport clip must still
     roundtrip: y_hat is derived from the CLIPPED coded symbols everywhere
