@@ -50,6 +50,20 @@ LANES = int(os.environ.get("BENCH_LANES", "512"))
 # "device": rANS pack on the device (default; minimal link bytes).
 # "host": the C coder packs on the host from fetched symbol planes.
 BACKEND = os.environ.get("BENCH_BACKEND", "device")
+# Scale on the PRNG-init encoder weights that puts the emitted stream rate
+# into the published operating band (kodak.csv ships 0.054-0.189 bpp; raw
+# PRNG init emits ~2.9 bpp = 13.9 MB/batch, which would turn the e2e bench
+# into a tunnel-bandwidth benchmark — every stream byte crosses the link
+# twice). Device FLOPs, symbol counts, scan steps and pack shapes are all
+# scale-invariant; only the byte volume moves. Picked with
+# scripts/rate_scale_probe.py; the bpp sanity band below guards against
+# silent degeneration in either direction. Set BENCH_RATE_SCALE=1 to
+# reproduce the old adversarially-incompressible workload.
+RATE_SCALE = float(os.environ.get("BENCH_RATE_SCALE", "0.55"))
+# Entropy-parameter conv precision: "default" (single-pass bf16) is the TPU
+# deployment mode — stream-safe under the shared-executable codec (see
+# DCVICModel.entropy_precision); "high" is the compressai/CPU-parity mode.
+ENTROPY_PRECISION = os.environ.get("BENCH_ENTROPY_PRECISION", "default")
 H, W = 768, 512
 TARGET = 20.0
 
@@ -97,16 +111,24 @@ def main():
     # f32 — see DCVICModel.codec_dtype); toggle with BENCH_DTYPE=float32.
     if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
         cfg["codec_dtype"] = "bfloat16"
+    cfg["entropy_precision"] = ENTROPY_PRECISION
     spec = build_comp_model(cfg)
     module = spec.module
 
     # PRNG-initialized parameters: symbol statistics, stream sizes, and the
     # entropy-coder cost are representative of a real (if untrained) model —
-    # zero-filled weights would give degenerate all-zero streams.
+    # zero-filled weights would give degenerate all-zero streams. The
+    # encoder subtree is damped by RATE_SCALE so the emitted rate lands in
+    # the published band instead of ~2.9 bpp (see RATE_SCALE note).
     x_init = jnp.zeros((1, 256, 256, 3), jnp.float32)
     b = jnp.array([1.0], jnp.float32)
     params = jax.jit(lambda r: module.init(
         {"params": r}, x_init, b, b, is_train=False))(jax.random.PRNGKey(0))
+    if RATE_SCALE != 1.0:
+        params = {**params, "params": {
+            **params["params"],
+            "encoder": jax.tree_util.tree_map(
+                lambda a: a * RATE_SCALE, params["params"]["encoder"])}}
     codec = Codec(spec, params, lanes=LANES, encode_backend=BACKEND)
 
     link = probe_link()
@@ -122,13 +144,20 @@ def main():
     imgs = np.clip(base[None] + rng.normal(0, 12, (BATCH, H, W, 3)),
                    0, 255).astype(np.uint8)
 
-    # warm-up (compile all graphs) + non-degeneracy check
+    # warm-up (compile all graphs) + stream-rate sanity band: the workload
+    # must be neither degenerate (all-zero symbols -> near-empty streams;
+    # the coder would be idling) nor adversarially incompressible (PRNG
+    # ~2.9 bpp; the link cost would dwarf any real deployment). The band
+    # brackets the published operating points (0.054-0.189 bpp) with room
+    # for the untrained model's higher-entropy residuals.
     res = codec.compress(imgs, quality_ind=0)
-    mean_y_bytes = float(np.mean([len(r["string_list"][2]) for r in res]))
-    assert mean_y_bytes > 1000, "degenerate y streams — bench would be bogus"
+    stream_b = sum(len(s) for r in res for s in r["string_list"])
+    bpp = stream_b * 8.0 / (BATCH * H * W)
+    if RATE_SCALE != 1.0:
+        assert 0.03 < bpp < 0.8, f"bench stream rate out of band: {bpp} bpp"
     out = codec.decompress([r["string_list"] for r in res])
     assert out.shape == imgs.shape
-    stream_mb = sum(len(s) for r in res for s in r["string_list"]) / 1e6
+    stream_mb = stream_b / 1e6
 
     # Pipelined steady-state throughput. Per cycle k (single device stream):
     #   1. dispatch batch k+1's encode (h2d + compute queue) so the device
@@ -197,10 +226,13 @@ def main():
         "finalize_s": [round(t, 3) for t in finalize_s],
         "decomp_s": [round(t, 3) for t in decomp_s],
         "stream_mb_per_batch": round(stream_mb, 2),
+        "bpp": round(bpp, 4),
         "image_mb_per_batch": round(imgs.nbytes / 1e6, 2),
         "link_mbps": {k: round(v, 1) for k, v in link.items()},
         "backend": BACKEND,
         "lanes": LANES,
+        "rate_scale": RATE_SCALE,
+        "entropy_precision": ENTROPY_PRECISION,
     }))
 
 

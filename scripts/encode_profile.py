@@ -53,6 +53,8 @@ def main():
     cfg = load_config(os.path.join(repo, "config", "dc_vic_patchgan.yaml"))
     if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
         cfg["codec_dtype"] = "bfloat16"
+    cfg["entropy_precision"] = os.environ.get("BENCH_ENTROPY_PRECISION",
+                                              "default")
     spec = build_comp_model(cfg)
     module = spec.module
 

@@ -52,6 +52,8 @@ def main():
     repo = os.path.join(os.path.dirname(__file__), "..")
     cfg = load_config(os.path.join(repo, "config", "dc_vic_patchgan.yaml"))
     cfg["codec_dtype"] = "bfloat16"
+    cfg["entropy_precision"] = os.environ.get("BENCH_ENTROPY_PRECISION",
+                                              "default")
     spec = build_comp_model(cfg)
     module = spec.module
 
@@ -69,26 +71,28 @@ def main():
                    0, 255).astype(np.uint8)
     px = BATCH * H * W
 
+    # One codec, params swapped in place per scale: the scale touches only
+    # the encoder subtree (entropy_z is untouched, so the bottleneck CDF
+    # table built at construction stays valid), and every executable takes
+    # the param tree as a traced argument — zero retracing across scales.
+    codec = Codec(spec, params0, lanes=512, encode_backend="device")
     for s in [float(t) for t in os.environ.get(
             "SCALES", "1.0,0.8,0.7,0.6,0.55,0.5,0.45,0.4,0.3").split(",")]:
-        params = jax.tree_util.tree_map(lambda a: a, params0)
         enc = jax.tree_util.tree_map(lambda a: a * s,
                                      params0["params"]["encoder"])
-        params = {**params0, "params": {**params0["params"], "encoder": enc}}
-        codec = Codec(spec, params, lanes=512, encode_backend="device")
+        codec.params = {**params0,
+                        "params": {**params0["params"], "encoder": enc}}
         t0 = time.perf_counter()
-        res = codec.compress(imgs, quality_ind=0, debug=True)
+        res = codec.compress(imgs, quality_ind=0)
         dt = time.perf_counter() - t0
         tot = sum(len(x) for r in res for x in r["string_list"])
         y_b = sum(len(r["string_list"][2]) for r in res)
         z_b = sum(len(r["string_list"][1]) for r in res)
-        ok = codec.verify_roundtrip(
-            res, [r["string_list"] for r in res], (H, W))
         print(json.dumps({
             "scale": s, "bpp": round(tot * 8 / px, 4),
             "stream_mb": round(tot / 1e6, 3),
             "y_mb": round(y_b / 1e6, 3), "z_mb": round(z_b / 1e6, 3),
-            "roundtrip_ok": bool(ok), "compress_s": round(dt, 2),
+            "compress_s": round(dt, 2),
         }), flush=True)
 
 
