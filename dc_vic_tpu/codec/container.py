@@ -30,7 +30,9 @@ class HeaderHandler:
     def encode(img_size: Tuple[int, int], max_abs_y: int, quality_ind: int,
                tpu_format: bool = False, lanes: int = 128,
                esc_dense: bool = False, portable: bool = False,
-               encode_batch: int = 0, t2free: bool = False) -> bytes:
+               encode_batch: int = 0, t2free: bool = False,
+               fast_entropy: bool = False, bf16: bool = False,
+               escfree: bool = False) -> bytes:
         """quality byte bit 7 marks the device-coded 'tpu' stream format
         (ops/rans_device.py), bit 6 the portable-stream mode; bits 0-5 are
         the quality index. For the tpu format the third byte carries log2
@@ -44,6 +46,19 @@ class HeaderHandler:
         rounds <= 4 wrote the bit as 0, which decodes conservatively). Two
         trailing bytes record the encode batch size (the executable-lowering
         coupling a NON-portable decode must match — driver.py; 0 = unknown).
+        A ninth byte records the codec numeric configuration the stream
+        bytes depend on — bit 0: fast entropy-parameter convs
+        (entropy_precision != 'high'), bit 1: bf16 conv stacks
+        (codec_dtype == 'bfloat16') — so a decoder built with the other
+        setting fails fast (driver.py) instead of silently desyncing.
+        Bit 2 is the ESCAPE-FREE guarantee: the encoder's exact escape
+        counts certify this image's stream contains no escapes at all, so
+        the decoder may skip the entire escape epilogue (decode_section
+        escfree=True — deletes the rank->raw rebuild gather and the
+        full-plane escape cumsum per section; a violation poisons the
+        consumed-words cursor). Bits 3-7 reserved (written 0). Legacy
+        <=8-byte headers from rounds <= 4 parse with these as unknown and
+        decode conservatively.
         (The reference writes max|y_hat| in byte 5 and never reads it back,
         src/utils/codec_utils.py)."""
         H, W = img_size
@@ -61,6 +76,9 @@ class HeaderHandler:
         head = struct.pack("<HHBB", H, W, b3, qb)
         if tpu_format:
             head += struct.pack("<H", min(0xFFFF, max(0, int(encode_batch))))
+            head += struct.pack(
+                "<B", (1 if fast_entropy else 0) | (2 if bf16 else 0)
+                | (4 if escfree else 0))
         return head
 
     @staticmethod
@@ -68,9 +86,18 @@ class HeaderHandler:
         H, W, b3, qb = struct.unpack("<HHBB", header[:6])
         tpu = bool(qb & 0x80)
         enc_b = None
+        fast_entropy = bf16 = escfree = None
         if tpu and len(header) >= 8:
             (enc_b,) = struct.unpack("<H", header[6:8])
+        if tpu and len(header) >= 9:
+            cfg = header[8]
+            fast_entropy = bool(cfg & 1)
+            bf16 = bool(cfg & 2)
+            escfree = bool(cfg & 4)
         return {"img_size": (H, W),
+                "fast_entropy": fast_entropy,
+                "bf16": bf16,
+                "escfree": escfree,
                 "max_sample": None if tpu else b3,
                 "lanes": (1 << (b3 & 0x3F)) if tpu else None,
                 "esc_dense": bool(b3 & 0x80) if tpu else None,

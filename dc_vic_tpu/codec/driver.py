@@ -122,9 +122,29 @@ class Codec:
     def __init__(self, spec: "CompModelSpec", params,
                  stream_format: str = "tpu", encode_backend: str = "host",
                  lanes: int = 128, mesh=None, data_axis: str = "data",
-                 portable: bool = False):
+                 portable: bool = False,
+                 params_backend: Optional[str] = None):
         assert stream_format in ("tpu", "compressai"), stream_format
         assert encode_backend in ("host", "device"), encode_backend
+        # params_backend: which platform derives the entropy parameters
+        # (hyper_out, per-slice mu/sigma, y_hat). "cpu" reproduces the
+        # reference's codec placement (entropy models + hyperdecoder +
+        # context model on CPU, hyperprior_dc_vic_model.py:70-73): both
+        # sides run the SAME CPU f32 programs, so a stream encoded on one
+        # accelerator decodes on a machine with a different (or no)
+        # accelerator — the property the reference's .bin has by
+        # construction. Default for the compressai format (the parity
+        # format) on a single device; the tpu format keeps the chain on
+        # the accelerator (its in-graph rANS scans live there).
+        if params_backend is None:
+            params_backend = ("cpu" if stream_format == "compressai"
+                              and mesh is None else "accel")
+        assert params_backend in ("cpu", "accel"), params_backend
+        assert not (params_backend == "cpu" and stream_format == "tpu"), (
+            "params_backend='cpu' applies to the compressai stream format "
+            "(the tpu format's entropy scans are device-resident by design)")
+        assert not (params_backend == "cpu" and mesh is not None)
+        self.params_backend = params_backend
         assert lanes & (lanes - 1) == 0 and 1 <= lanes <= 4096, lanes
         # Portable mode pins the param chain to single-device batch-1
         # executables; a mesh codec's sharded lowerings are exactly the
@@ -156,6 +176,27 @@ class Codec:
             self._bsh = NamedSharding(mesh, PartitionSpec(data_axis))
             params = jax.device_put(params, self._repl)
         self.params = params
+        # CPU copy of the params for the cpu entropy-parameter chain (jit
+        # placement follows committed operands, so the chain executables
+        # compile/run on the CPU platform when fed these).
+        self._accel_dev = jax.devices()[0]
+        if self.params_backend == "cpu":
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None  # no CPU platform in this process
+            if cpu is None or cpu == self._accel_dev:
+                # already on CPU (or no separate CPU backend): the accel
+                # chain IS the cpu chain
+                self.params_backend = "cpu" if cpu is not None else "accel"
+                self._cpu_dev = None
+                self._params_chain = params
+            else:
+                self._cpu_dev = cpu
+                self._params_chain = jax.device_put(params, cpu)
+        else:
+            self._cpu_dev = None
+            self._params_chain = params
         self.stream_format = stream_format
         # tpu-format encode can run on the host (C coder — overlaps device
         # compute in the pipeline; default) or fully on the device
@@ -165,6 +206,20 @@ class Codec:
         # the encoder, 2 in the hyperencoder)
         self.y_stride = 16
         self.model_stride = 64
+        # Stream-defining numeric configuration, recorded in tpu-format
+        # headers and asserted on decode (a mismatched decoder would
+        # silently desync otherwise — ADVICE r4).
+        self._fast_entropy = (self.module.entropy_precision or "high") != "high"
+        self._bf16 = self.module.codec_dtype == "bfloat16"
+        if stream_format == "compressai" and self._fast_entropy:
+            import warnings
+            warnings.warn(
+                "stream_format='compressai' with entropy_precision="
+                f"'{self.module.entropy_precision}': reference/CPU-parity "
+                "streams are only guaranteed with entropy_precision='high' "
+                "(the fast bf16 entropy-parameter mode is scoped to the tpu "
+                "stream format's shared-executable contract)",
+                stacklevel=2)
         self._setup_tables()
         self._jit = {}
         # Per-image rANS byte work is independent; the C calls release the
@@ -189,8 +244,26 @@ class Codec:
         # constants, not graph values) — see _ensure_dtables.
         return self._dtables[which]
 
+    def _chain_put(self, x):
+        """Commit an entropy-parameter-chain operand to the chain's
+        platform (CPU when params_backend='cpu' — placement of the shared
+        executables follows their committed operands)."""
+        if self._cpu_dev is None:
+            return self._put_batch(x)
+        if isinstance(x, jax.Array):
+            return jax.device_put(x, self._cpu_dev)
+        return jax.device_put(np.asarray(x), self._cpu_dev)
+
     def _ensure_dtables(self):
         if not self._dtables:
+            if self._cpu_dev is not None:
+                # cpu chain (compressai format): the tables only feed the
+                # coalesce stats executable, which runs where its operands
+                # live
+                with jax.default_device(self._cpu_dev):
+                    self._dtables["y"] = DeviceCdfTable(self.y_table)
+                    self._dtables["z"] = DeviceCdfTable(self.z_table)
+                return
             self._dtables["y"] = DeviceCdfTable(self.y_table)
             self._dtables["z"] = DeviceCdfTable(self.z_table)
             if self.mesh is not None:
@@ -324,11 +397,18 @@ class Codec:
             return [(s * sc, (s + 1) * sc) for s in range(self.num_slices)]
         return [(0, Cy)]
 
-    def _tpu_pack(self, y_sym, y_idx, z_sym, clipped: bool = True):
+    def _tpu_pack(self, y_sym, y_idx, z_sym, clipped: bool = True,
+                  escfree: bool = False):
         """Traced: device-entropy-encode the symbol planes into two packed
         word buffers (per-image y and z streams; ChARM slice sections chained
         inside each y stream — one flush per stream, not per section).
-        clipped=True (the dispatch default): symbols are clipped to +-32000
+        escfree=True (the dispatch default): speculate that NO escape fires
+        (measured true for the whole bench batch at the contract workload),
+        so the side-channel slots are statically absent — ONE compaction
+        update per symbol. The exact escape counts come back with the
+        stats; on a miss _finalize_tpu re-packs through the clipped
+        executable (below).
+        clipped=True: symbols are clipped to +-32000
         by the codec symbolizers, which makes tier-2 escape words possible
         only when a row's offset pushes the zigzag past 2^16 — never for
         realistic tables/symbols — so the tier-2 slots are statically absent
@@ -350,7 +430,7 @@ class Codec:
             sections.append((sec_s.reshape(B, -1, L),
                              sec_i.reshape(B, -1, L)))
         vals, mask, y_esc = encode_stream(sections, self._dtable("y"),
-                                          clipped=clipped,
+                                          clipped=clipped, escfree=escfree,
                                           with_esc_counts=True)
         packed_y, y_counts = pack_streams(vals, mask)
         Cz = z_sym.shape[-1]
@@ -361,6 +441,7 @@ class Codec:
             (B,) + z_sym.shape[1:3] + (Cz,)).reshape(B, -1, Lz)
         v, m, z_esc = encode_sections(z_sym.reshape(B, -1, Lz), z_idx,
                                       self._dtable("z"), clipped=clipped,
+                                      escfree=escfree,
                                       with_esc_counts=True)
         packed_z, z_counts = pack_streams(v, m)
         return (packed_y, y_counts, packed_z, z_counts,
@@ -375,7 +456,8 @@ class Codec:
             y_idx = y_idx8.astype(jnp.int32)
             z_sym = z_sym16.astype(jnp.int32)
             (packed_y, y_counts, packed_z, z_counts,
-             y_escmax, z_escmax) = self._tpu_pack(y_sym, y_idx, z_sym)
+             y_escmax, z_escmax) = self._tpu_pack(y_sym, y_idx, z_sym,
+                                                  escfree=True)
             # pred bits are EXACT here: the packed word counts are the
             # stream sizes actually written (x16 bits, incl. flush).
             y_bits = y_counts.astype(jnp.float32) * 16.0
@@ -401,10 +483,27 @@ class Codec:
             return dict(stats=stats, packed_y=packed_y, packed_z=packed_z)
         return jax.jit(f)
 
+    def _pack_clipped_fn(self):
+        """Escape-speculation-miss retry: re-encode the stashed symbol
+        planes through the clipped pack, which carries the tier-1 escape
+        slots (poisons if tier-2 would fire — then _finalize_tpu escalates
+        to the dense pack). Dispatched only when the fast escfree pack
+        reports a nonzero escape count, so on realistic low-bpp streams
+        this executable is never compiled."""
+        def f(y_sym16, y_idx8, z_sym16):
+            (packed_y, y_counts, packed_z, z_counts,
+             y_escmax, z_escmax) = self._tpu_pack(
+                y_sym16.astype(jnp.int32), y_idx8.astype(jnp.int32),
+                z_sym16.astype(jnp.int32), clipped=True)
+            return dict(packed_y=packed_y, y_counts=y_counts,
+                        packed_z=packed_z, z_counts=z_counts,
+                        y_escmax=y_escmax, z_escmax=z_escmax)
+        return jax.jit(f)
+
     def _pack_dense_fn(self):
         """Pathological-input retry: re-encode the stashed symbol planes
         through the dense (clipped=False) pack, which carries the tier-2
-        escape slots. Dispatched by _finalize_tpu only when the fast clipped
+        escape slots. Dispatched by _finalize_tpu only when the clipped
         pack reports CLIP_POISON — so this executable is never compiled on
         realistic streams."""
         def f(y_sym16, y_idx8, z_sym16):
@@ -454,7 +553,7 @@ class Codec:
         return jax.jit(f)
 
     def _zdec_fn(self, B, zH, zW, lanes: int, sparse_esc: bool,
-                 tier2: bool = True):
+                 tier2: bool = True, escfree: bool = False):
         """z stream entropy decode: word buffer -> z symbols (int16) +
         consumed-words cursor. The cursor output doubles as the stream-
         integrity check AND keeps the scan carry live: with dead cursors the
@@ -471,7 +570,8 @@ class Codec:
                 (B, zH, zW, Cz)).reshape(B, -1, Lz)
             z_sym, z_cursor, _ = decode_section(
                 z_words, z_base, jnp.zeros((B,), jnp.int32), None, z_idx,
-                self._dtable("z"), sparse_esc=sparse_esc, tier2=tier2)
+                self._dtable("z"), sparse_esc=sparse_esc, tier2=tier2,
+                escfree=escfree)
             return (z_sym.reshape(B, zH, zW, Cz).astype(jnp.int16),
                     z_cursor)
         # decode-pipeline entry: words/base are replicated, so pin the
@@ -479,7 +579,8 @@ class Codec:
         return jax.jit(f, out_shardings=self._shard0())
 
     def _ysec_fn(self, first: bool, B, yH, yW, sc, lanes: int,
-                 sparse_esc: bool, tier2: bool = True):
+                 sparse_esc: bool, tier2: bool = True,
+                 escfree: bool = False):
         """One y-stream section entropy decode: (words, cursor, lane states,
         cdf indexes) -> (symbols int16 [B, yH, yW, sc], cursor, states).
         first=True reads the stream's 2L flush words (chained format: lane
@@ -493,7 +594,8 @@ class Codec:
             idx = idx8.astype(jnp.int32).reshape(B, -1, L)
             sym, cursor2, state2 = decode_section(
                 y_words, y_base, cursor, None if first else state, idx,
-                self._dtable("y"), sparse_esc=sparse_esc, tier2=tier2)
+                self._dtable("y"), sparse_esc=sparse_esc, tier2=tier2,
+                escfree=escfree)
             return (sym.reshape(B, yH, yW, sc).astype(jnp.int16),
                     cursor2, state2)
         return jax.jit(f)
@@ -560,8 +662,9 @@ class Codec:
         bf16-boundary values differently, PERF.md §8b). Only integers and
         the encoder-only y (never recomputed by a decoder) cross the
         per-image slicing boundary. Costs O(B) extra dispatches; the
-        front, pack, and reconstruction stay batched."""
-        p = self.params
+        front, pack, and reconstruction stay batched. (Called with y/z_sym
+        already committed to the chain platform by _encode_param_chain.)"""
+        p = self._params_chain
         B, yH, yW = y.shape[0], y.shape[1], y.shape[2]
         hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
                               self._hyper_decode_fn)
@@ -615,9 +718,12 @@ class Codec:
         construction. Returns (y_syms int16, y_idxs uint8, y_hat, z_hat).
         In portable mode the chain instead runs per image at the canonical
         batch-1 shape (see _encode_param_chain_portable)."""
+        if self._cpu_dev is not None:
+            y = self._chain_put(y)
+            z_sym = self._chain_put(z_sym)
         if self.portable:
             return self._encode_param_chain_portable(y, z_sym)
-        p = self.params
+        p = self._params_chain
         B, yH, yW = y.shape[0], y.shape[1], y.shape[2]
         hyper = self._get_jit(("hyper", z_sym.shape), self._hyper_decode_fn)
         ho, z_hat = hyper(p, z_sym)
@@ -649,6 +755,10 @@ class Codec:
     def _encode_tail(self, y, z_sym, tpu_dev: bool, debug: bool) -> Dict:
         """Param chain + format-specific tail (device rANS pack | fused d2h
         symbol planes). Returns the `out` dict compress_finalize reads."""
+        if self._cpu_dev is not None:
+            # cpu entropy-parameter chain: the tail (coalesce) runs there
+            # too, so all its operands must share the commitment
+            z_sym = self._chain_put(z_sym)
         y_syms, y_idxs, y_hat, z_hat = self._encode_param_chain(y, z_sym)
         tail = (self._get_jit(("pack",), self._pack_fn) if tpu_dev
                 else self._get_jit(("coalesce",), self._coalesce_fn))
@@ -819,18 +929,23 @@ class Codec:
                 esc_dense = bool(self._esc_dense_flags(
                     handle, np.array([y_esc]), np.array([z_esc]))[0])
                 t2free = not (y_t2 or z_t2)
+                escfree = y_esc == 0 and z_esc == 0
             else:
                 z_str = z_futs[b].result()
                 y_str = y_futs[b].result()
                 esc_dense = False
                 t2free = False
+                escfree = False
             header = HeaderHandler.encode((H, W), max_abs_y, quality_ind,
                                           tpu_format=tpu_host,
                                           lanes=self.lanes,
                                           esc_dense=esc_dense,
                                           t2free=t2free,
+                                          escfree=escfree,
                                           portable=self.portable,
-                                          encode_batch=B)
+                                          encode_batch=B,
+                                          fast_entropy=self._fast_entropy,
+                                          bf16=self._bf16)
             r = dict(
                 string_list=[header, z_str, y_str],
                 pred_y_bpp=float(y_bits[b]) / num_pixel,
@@ -877,28 +992,38 @@ class Codec:
         y_escmax = stats[2 * B + 2 + 4 * B: 2 * B + 2 + 5 * B].astype(np.int64)
         z_escmax = stats[2 * B + 2 + 5 * B: 2 * B + 2 + 6 * B].astype(np.int64)
         from ..ops.rans_device import CLIP_POISON
-        # The fast pack is clipped=True: it emits NO tier-2 slots and poisons
-        # the escape counts if one would fire. No poison therefore CERTIFIES
-        # every stream in the batch tier-2-free (container t2free bit, which
-        # unlocks the decoder's epilogue fast path); the dense fallback
-        # carries tier-2 words, so its streams decode conservatively.
+        # Three-tier speculative pack. The dispatched pack is escfree=True
+        # (NO side-channel slots — one compaction update per symbol; every
+        # realistic low-bpp stream has zero escapes). Its exact escape
+        # counts certify, per image, the escfree container bit that unlocks
+        # the decoder's epilogue-free fast path. On a miss (any escape in
+        # the batch) re-pack through the clipped executable (tier-1 slots,
+        # no tier-2); if THAT poisons (tier-2 would fire — pathological
+        # symbols only), escalate to the dense pack.
         t2free = True
-        if (y_escmax >= CLIP_POISON).any() or (z_escmax >= CLIP_POISON).any():
-            # a tier-2 escape fired under the fast clipped pack (possible
-            # only for pathological symbols whose zigzag exceeds 2^16) — the
-            # fast stream would be missing its tier-2 words, so re-pack
-            # through the dense executable (exact; see _tpu_pack)
-            dense = self._get_jit(("pack_dense",), self._pack_dense_fn)(
-                out["y_symbols"], out["y_indexes"], out["z_symbols"])
-            y_counts = np.asarray(dense["y_counts"]).astype(np.int64)
-            z_counts = np.asarray(dense["z_counts"]).astype(np.int64)
-            y_bits = y_counts.astype(np.float64) * 16.0
-            z_bits = z_counts.astype(np.float64) * 16.0
-            y_escmax = np.asarray(dense["y_escmax"]).astype(np.int64)
-            z_escmax = np.asarray(dense["z_escmax"]).astype(np.int64)
-            out = dict(out, packed_y=dense["packed_y"],
-                       packed_z=dense["packed_z"])
-            t2free = False
+        if (y_escmax > 0).any() or (z_escmax > 0).any():
+            def repack(d):
+                nonlocal y_counts, z_counts, y_bits, z_bits
+                nonlocal y_escmax, z_escmax, out
+                y_counts = np.asarray(d["y_counts"]).astype(np.int64)
+                z_counts = np.asarray(d["z_counts"]).astype(np.int64)
+                y_bits = y_counts.astype(np.float64) * 16.0
+                z_bits = z_counts.astype(np.float64) * 16.0
+                y_escmax = np.asarray(d["y_escmax"]).astype(np.int64)
+                z_escmax = np.asarray(d["z_escmax"]).astype(np.int64)
+                out = dict(out, packed_y=d["packed_y"],
+                           packed_z=d["packed_z"])
+
+            repack(self._get_jit(("pack_clip",), self._pack_clipped_fn)(
+                out["y_symbols"], out["y_indexes"], out["z_symbols"]))
+            if ((y_escmax >= CLIP_POISON).any()
+                    or (z_escmax >= CLIP_POISON).any()):
+                repack(self._get_jit(("pack_dense",), self._pack_dense_fn)(
+                    out["y_symbols"], out["y_indexes"], out["z_symbols"]))
+                t2free = False
+        # per-image certification: an image with zero escapes has identical
+        # bytes under every pack tier, so its bit survives a batch re-pack
+        escfree = (y_escmax == 0) & (z_escmax == 0)
         esc_dense = self._esc_dense_flags(handle, y_escmax, z_escmax)
         if (y_counts.sum() > out["packed_y"].shape[0]
                 or z_counts.sum() > out["packed_z"].shape[0]):
@@ -926,8 +1051,11 @@ class Codec:
                                           tpu_format=True, lanes=self.lanes,
                                           esc_dense=bool(esc_dense[b]),
                                           t2free=t2free,
+                                          escfree=bool(escfree[b]),
                                           portable=self.portable,
-                                          encode_batch=B)
+                                          encode_batch=B,
+                                          fast_entropy=self._fast_entropy,
+                                          bf16=self._bf16)
             r = dict(
                 string_list=[header,
                              pz[z_off[b]:z_off[b + 1]].tobytes(),
@@ -967,6 +1095,26 @@ class Codec:
         assert all(h["stream_format"] == fmt for h in headers)
         assert all(h["portable"] == portable for h in headers), (
             "mixed portable/non-portable streams in one decode batch")
+        if fmt == "tpu":
+            # entropy_precision / codec_dtype change the bytes a stream's
+            # entropy parameters are derived with: a decoder built with the
+            # other setting desyncs silently. Fail fast on the recorded
+            # config instead (legacy <=8-byte headers carry no record and
+            # skip the check).
+            for h in headers:
+                for key, mine, knob in (
+                        ("fast_entropy", self._fast_entropy,
+                         "entropy_precision"),
+                        ("bf16", self._bf16, "codec_dtype")):
+                    if h[key] is not None and h[key] != mine:
+                        raise ValueError(
+                            f"stream was encoded with {knob} "
+                            f"{'fast' if h[key] else 'high/f32'} but this "
+                            f"codec is built with the other setting — "
+                            "entropy parameters would not reproduce and the "
+                            f"decode would desync. Rebuild the model with a "
+                            f"matching `{knob}` config to decode this "
+                            "stream")
         if fmt == "tpu" and not portable:
             # Non-portable streams are only guaranteed decodable by the
             # encoder's executable configuration (PERF.md §8b). The header
@@ -993,6 +1141,8 @@ class Codec:
             esc_dense=any(bool(h["esc_dense"]) for h in headers)
             if fmt == "tpu" else False, portable=portable,
             t2free=all(bool(h["t2free"]) for h in headers)
+            if fmt == "tpu" else False,
+            escfree=all(bool(h["escfree"]) for h in headers)
             if fmt == "tpu" else False)
 
     def decompress_raw(self, z_strs: List[bytes], y_strs: List[bytes],
@@ -1002,7 +1152,8 @@ class Codec:
                        lanes: Optional[int] = None,
                        esc_dense: bool = False,
                        portable: bool = False,
-                       t2free: bool = False) -> np.ndarray:
+                       t2free: bool = False,
+                       escfree: bool = False) -> np.ndarray:
         """defer_fetch=True returns a PendingImages handle with the d2h copy
         already started — call .fetch() later to overlap the transfer with
         the next batch's compute. portable=True decodes the entropy
@@ -1031,7 +1182,7 @@ class Codec:
                                         lanes=lanes or self.lanes,
                                         esc_dense=esc_dense,
                                         portable=portable, keep=keep,
-                                        t2free=t2free)
+                                        t2free=t2free, escfree=escfree)
 
         # z: factorized decode, one shot per image (parallel across images)
         z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
@@ -1051,22 +1202,25 @@ class Codec:
         else:
             hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
                                   self._hyper_decode_fn)
-            hyper_out, _ = hyper(self.params, self._put_batch(z_sym))
+            hyper_out, _ = hyper(self._params_chain, self._chain_put(z_sym))
             if self.module.use_charm:
                 y_hat = self._charm_decode(hyper_out, y_strs, B, yH, yW, Cy)
             else:
                 # shared executables with the encode pipeline — idx/means
                 # must match the encoder bitwise (see _encode_param_chain)
                 ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
-                means, idx8 = ymi(self.params, hyper_out)
+                means, idx8 = ymi(self._params_chain, hyper_out)
                 idx = np.asarray(idx8, np.int32)
                 sym = np.stack([
                     decode_with_indexes(s, idx[b].reshape(-1), self.y_table)
                     .reshape(yH, yW, Cy)
                     for b, s in enumerate(y_strs)])
                 dq = self._get_jit(("ydq",), self._y_dequant_fn)
-                y_hat = dq(self.params,
-                           self._put_batch(sym.astype(np.int16)), means)
+                y_hat = dq(self._params_chain,
+                           self._chain_put(sym.astype(np.int16)), means)
+        if self._cpu_dev is not None:
+            # chain ran on CPU; reconstruction runs on the accelerator
+            y_hat = jax.device_put(y_hat, self._accel_dev)
 
         from .tiling import SPLIT_RESOLUTION
         if max(H, W) > SPLIT_RESOLUTION:
@@ -1094,23 +1248,23 @@ class Codec:
         streams are per-image by construction). Returns (y_hat, z_hat)."""
         hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
                               self._hyper_decode_fn)
-        z_dev = jnp.asarray(z_sym)
+        z_dev = self._chain_put(z_sym)
         y_hats, z_hats = [], []
         for b in range(B):
-            ho, zh = hyper(self.params, z_dev[b:b + 1])
+            ho, zh = hyper(self._params_chain, z_dev[b:b + 1])
             z_hats.append(zh)
             if self.module.use_charm:
                 y_hats.append(self._charm_decode(
                     ho, [y_strs[b]], 1, yH, yW, Cy))
             else:
                 ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
-                means, idx8 = ymi(self.params, ho)
+                means, idx8 = ymi(self._params_chain, ho)
                 idx = np.asarray(idx8, np.int32)
                 sym = decode_with_indexes(
                     y_strs[b], idx.reshape(-1),
                     self.y_table).reshape(1, yH, yW, Cy)
                 dq = self._get_jit(("ydq",), self._y_dequant_fn)
-                y_hats.append(dq(self.params, jnp.asarray(
+                y_hats.append(dq(self._params_chain, self._chain_put(
                     sym.astype(np.int16)), means))
         if B == 1:
             return y_hats[0], z_hats[0]
@@ -1121,7 +1275,8 @@ class Codec:
                          B, zH, zW, yH, yW, lanes: int, sparse_esc: bool,
                          recon: bool, b1, b2,
                          portable: bool = False,
-                         tier2: bool = True) -> Dict:
+                         tier2: bool = True,
+                         escfree: bool = False) -> Dict:
         """tpu-format decode as a chain of executables: z scan -> hyper ->
         per-slice (shared params/step + y-section scan) -> optional
         reconstruction. All dispatches are async; nothing blocks until the
@@ -1133,12 +1288,15 @@ class Codec:
         if portable:
             return self._decode_pipeline_portable(
                 z_words, z_base, y_words, y_base, B, zH, zW, yH, yW,
-                lanes, sparse_esc, recon, b1, b2, tier2=tier2)
+                lanes, sparse_esc, recon, b1, b2, tier2=tier2,
+                escfree=escfree)
         p = self.params
         Cy = self.module.bottleneck_y
-        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc, tier2),
+        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc, tier2,
+                              escfree),
                              lambda: self._zdec_fn(B, zH, zW, lanes,
-                                                   sparse_esc, tier2))
+                                                   sparse_esc, tier2,
+                                                   escfree))
         z_sym, z_cursor = zdec(z_words, z_base)
         hyper = self._get_jit(("hyper", z_sym.shape), self._hyper_decode_fn)
         ho, z_hat = hyper(p, z_sym)
@@ -1154,10 +1312,10 @@ class Codec:
             for i in range(self.num_slices):
                 yd = self._get_jit(
                     ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc,
-                     tier2),
+                     tier2, escfree),
                     lambda f=(i == 0): self._ysec_fn(f, B, yH, yW, sc,
                                                      lanes, sparse_esc,
-                                                     tier2))
+                                                     tier2, escfree))
                 sym, cursor, state = yd(y_words, y_base, cursor, state, idx)
                 sf = self._get_jit(("slice_s", i, (B, yH, yW)),
                                    lambda i=i: self._slice_step_fn(i))
@@ -1167,9 +1325,10 @@ class Codec:
             ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
             means, idx = ymi(p, ho)
             yd = self._get_jit(
-                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc, tier2),
+                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc, tier2,
+                 escfree),
                 lambda: self._ysec_fn(True, B, yH, yW, Cy, lanes,
-                                      sparse_esc, tier2))
+                                      sparse_esc, tier2, escfree))
             state = jnp.zeros(
                 (B, section_lanes(yH * yW * Cy, lanes)), jnp.uint32)
             sym, cursor, state = yd(y_words, y_base, cursor, state, idx)
@@ -1186,7 +1345,8 @@ class Codec:
     def _decode_pipeline_portable(self, z_words, z_base, y_words, y_base,
                                   B, zH, zW, yH, yW, lanes: int,
                                   sparse_esc: bool, recon: bool,
-                                  b1, b2, tier2: bool = True) -> Dict:
+                                  b1, b2, tier2: bool = True,
+                                  escfree: bool = False) -> Dict:
         """Portable-stream decode: the z/y entropy scans run batched (pure
         integer programs — exact under any lowering), but every FLOAT that
         gates symbol interpretation (hyper_out, per-slice mu, y_hat_prev,
@@ -1201,9 +1361,11 @@ class Codec:
         def stk(parts):
             return parts[0] if B == 1 else stack(*parts)
 
-        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc, tier2),
+        zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc, tier2,
+                              escfree),
                              lambda: self._zdec_fn(B, zH, zW, lanes,
-                                                   sparse_esc, tier2))
+                                                   sparse_esc, tier2,
+                                                   escfree))
         z_sym, z_cursor = zdec(z_words, z_base)
         hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
                               self._hyper_decode_fn)
@@ -1229,10 +1391,10 @@ class Codec:
             for i in range(self.num_slices):
                 yd = self._get_jit(
                     ("ysec", i == 0, B, yH, yW, sc, lanes, sparse_esc,
-                     tier2),
+                     tier2, escfree),
                     lambda f=(i == 0): self._ysec_fn(f, B, yH, yW, sc,
                                                      lanes, sparse_esc,
-                                                     tier2))
+                                                     tier2, escfree))
                 sym, cursor, state = yd(y_words, y_base, cursor, state,
                                         stk(idxs))
                 sf = self._get_jit(("slice_s", i, (1, yH, yW)),
@@ -1249,9 +1411,10 @@ class Codec:
                 means.append(m_b)
                 idxs.append(i_b)
             yd = self._get_jit(
-                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc, tier2),
+                ("ysec", True, B, yH, yW, Cy, lanes, sparse_esc, tier2,
+                 escfree),
                 lambda: self._ysec_fn(True, B, yH, yW, Cy, lanes,
-                                      sparse_esc, tier2))
+                                      sparse_esc, tier2, escfree))
             state = jnp.zeros(
                 (B, section_lanes(yH * yW * Cy, lanes)), jnp.uint32)
             sym, cursor, state = yd(y_words, y_base, cursor, state,
@@ -1274,7 +1437,8 @@ class Codec:
                         esc_dense: bool = False,
                         portable: bool = False,
                         keep: Optional[int] = None,
-                        t2free: bool = False):
+                        t2free: bool = False,
+                        escfree: bool = False):
         """Decode device-coded streams: upload the word buffers, run the
         shared-executable pipeline (z decode -> hyper -> ChARM chain with
         device rANS sections -> reconstruction), download flat uint8 pixels.
@@ -1302,7 +1466,8 @@ class Codec:
                                     B, zH, zW, yH, yW, lanes,
                                     sparse_esc=not esc_dense,
                                     recon=recon, b1=b1, b2=b2,
-                                    portable=portable, tier2=not t2free)
+                                    portable=portable, tier2=not t2free,
+                                    escfree=escfree)
         check = lambda: self._check_consumed(out["consumed_words"],
                                              z_strs, y_strs)
         if include_latents:
@@ -1386,13 +1551,16 @@ class Codec:
         t2free = all(
             bool(HeaderHandler.decode(r["string_list"][0])["t2free"])
             for r in res)
+        escfree = all(
+            bool(HeaderHandler.decode(r["string_list"][0])["escfree"])
+            for r in res)
 
         def run_dec():
             out = self._decode_pipeline(z_words, z_base, y_words, y_base,
                                         B, zH, zW, yH, yW, self.lanes,
                                         sparse_esc=not esc_dense,
                                         recon=True, b1=b1, b2=b2,
-                                        tier2=not t2free)
+                                        tier2=not t2free, escfree=escfree)
             return jax.block_until_ready((out["img"],
                                           out["consumed_words"]))
         run_dec()
@@ -1416,9 +1584,9 @@ class Codec:
         if np.any(got >= ESC_POISON):
             raise RuntimeError(
                 "tpu-format decode escape-epilogue poison: a section has "
-                "more escapes than the sparse epilogue's capacity, or a "
-                "tier-2 escape word appeared in a stream whose header "
-                "certifies it tier-2-free — corrupt stream or mis-flagged "
+                "more escapes than the sparse epilogue's capacity, or an "
+                "escape appeared in a stream whose header certifies it "
+                "escape-free / tier-2-free — corrupt stream or mis-flagged "
                 "encoder")
         want_z = np.array([len(s) // 2 for s in z_strs], got.dtype)
         want_y = np.array([len(s) // 2 for s in y_strs], got.dtype)
@@ -1458,6 +1626,9 @@ class Codec:
                 t2free=all(
                     bool(HeaderHandler.decode(s[0])["t2free"])
                     for s in string_lists),
+                escfree=all(
+                    bool(HeaderHandler.decode(s[0])["escfree"])
+                    for s in string_lists),
                 portable=portable)
             y_hat = np.asarray(out["y_hat"])
             z_hat = np.asarray(out["z_hat"])
@@ -1486,20 +1657,20 @@ class Codec:
                 for b, r in enumerate(results))
         hyper = self._get_jit(("hyper", (B, zH, zW, Cz)),
                               self._hyper_decode_fn)
-        hyper_out, z_hat = hyper(self.params, self._put_batch(z_sym))
+        hyper_out, z_hat = hyper(self._params_chain, self._chain_put(z_sym))
         if self.module.use_charm:
             y_hat = np.asarray(self._charm_decode(
                 hyper_out, [s[2] for s in string_lists], B, yH, yW, Cy))
         else:
             ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
-            means, idx8 = ymi(self.params, hyper_out)
+            means, idx8 = ymi(self._params_chain, hyper_out)
             idx = np.asarray(idx8, np.int32)
             sym = np.stack([
                 decode_with_indexes(s[2], idx[b].reshape(-1), self.y_table)
                 .reshape(yH, yW, Cy) for b, s in enumerate(string_lists)])
             dq = self._get_jit(("ydq",), self._y_dequant_fn)
-            y_hat = np.asarray(dq(self.params,
-                                  self._put_batch(sym.astype(np.int16)),
+            y_hat = np.asarray(dq(self._params_chain,
+                                  self._chain_put(sym.astype(np.int16)),
                                   means))
         z_hat = np.asarray(z_hat)
         ok = True
@@ -1565,7 +1736,7 @@ class Codec:
         y_prev = jnp.zeros((B, yH, yW, 0), jnp.float32)
         p0 = self._get_jit(("slice_p", 0, (B, yH, yW)),
                            lambda: self._slice_params_fn(0))
-        mu, idx = p0(self.params, hyper_out, y_prev)
+        mu, idx = p0(self._params_chain, hyper_out, y_prev)
         for i in range(self.num_slices):
             idx_np = np.asarray(idx, np.int32)
             sym = np.stack(list(self._pool.map(
@@ -1574,6 +1745,6 @@ class Codec:
                 .reshape(yH, yW, slice_ch), range(B))))
             sf = self._get_jit(("slice_s", i, (B, yH, yW)),
                                lambda i=i: self._slice_step_fn(i))
-            y_prev, mu, idx = sf(self.params, hyper_out, y_prev,
-                                 self._put_batch(sym.astype(np.int16)), mu)
+            y_prev, mu, idx = sf(self._params_chain, hyper_out, y_prev,
+                                 self._chain_put(sym.astype(np.int16)), mu)
         return y_prev

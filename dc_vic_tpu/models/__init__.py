@@ -46,6 +46,20 @@ class CompModelSpec:
 
 def build_comp_model(opt, dtype=None) -> CompModelSpec:
     """opt: full experiment config (needs opt.model and opt.subnet)."""
+    # Validate the numeric-mode knobs here (a typo'd YAML value would
+    # otherwise surface only at first trace as an opaque XLA precision
+    # error — ADVICE r4).
+    ep = opt.get("entropy_precision", "high")
+    if ep not in (None, "high", "highest", "default"):
+        raise ValueError(
+            f"entropy_precision={ep!r}: expected 'high' (faithful-f32 "
+            "3-pass decomposition, required for compressai/CPU-parity "
+            "streams), 'highest', or 'default' (single-pass bf16 — the "
+            "fast TPU mode, scoped to the tpu stream format)")
+    cd = opt.get("codec_dtype")
+    if cd not in (None, "bfloat16", "float32"):
+        raise ValueError(
+            f"codec_dtype={cd!r}: expected 'bfloat16' or 'float32'/null")
     model_cfg = dict(opt["model"])
     model_type = model_cfg.pop("type")
     use_charm = "Charm" in model_type

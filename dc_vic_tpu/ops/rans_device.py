@@ -220,7 +220,8 @@ CLIP_POISON = 1 << 20     # esc-count poison: tier-2 fired under clipped=True
 
 
 def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
-                x0: jnp.ndarray, clipped: bool = False):
+                x0: jnp.ndarray, clipped: bool = False,
+                escfree: bool = False):
     """Reverse-encode one section starting from lane states x0 [B, L].
     Returns (x_fin, vals [B, K], mask [B, K], n_esc [B]) where vals/mask
     hold the section's [renorm][tier-1][tier-2] words (no flush) and n_esc
@@ -232,7 +233,16 @@ def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
     and tier-2 was half of the worst-case capacity. The emitted stream is
     byte-identical (tier-2 never fires for such symbols); if the guarantee
     is violated, n_esc is poisoned with CLIP_POISON so the driver raises
-    instead of writing a stream missing its tier-2 words."""
+    instead of writing a stream missing its tier-2 words.
+
+    escfree=True (the speculative fast path): assume NO escape fires at
+    all, so even the tier-1 slots are omitted — the compaction updates
+    drop to ONE per symbol (the renorm slot), halving the scatter again
+    vs clipped. Streams with zero escapes (every realistic low-bpp
+    stream: the bench workload measures 0 escapes across the batch) are
+    byte-identical; the per-image escape counts returned are exact, so
+    the driver re-packs through the clipped executable whenever any
+    image's count is nonzero. Implies the clipped layout otherwise."""
     B, n, L = sym.shape
     start, freq, esc, raw = _precompute(sym, idx, table)
     tr = lambda a: a.transpose(1, 0, 2)  # [n, B, L] scan layout
@@ -257,6 +267,11 @@ def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
     big_f = big.reshape(B, -1)
     raw_f = raw.reshape(B, -1)
     n_esc = jnp.sum(esc_f, axis=1, dtype=jnp.int32)
+    if escfree:
+        # no side-channel slots at all; exact n_esc lets the driver detect
+        # the speculation miss and re-pack through the clipped executable
+        return (x_fin, tr(w_main).reshape(B, -1),
+                tr(m_main).reshape(B, -1), n_esc)
     if clipped:
         n_esc = n_esc + CLIP_POISON * jnp.any(big_f, axis=1).astype(jnp.int32)
         t1 = raw_f.astype(jnp.uint16)
@@ -275,7 +290,7 @@ def _encode_one(sym: jnp.ndarray, idx: jnp.ndarray, table: DeviceCdfTable,
 
 
 def encode_stream(sections, table: DeviceCdfTable, clipped: bool = False,
-                  with_esc_counts: bool = False):
+                  with_esc_counts: bool = False, escfree: bool = False):
     """Encode one multi-section stream with CHAINED lane states: sections is
     a list of (sym [B, n_i, L], idx [B, n_i, L]) in decode order, all with
     the same B and L. Lane states carry across sections (encoded in reverse
@@ -284,10 +299,12 @@ def encode_stream(sections, table: DeviceCdfTable, clipped: bool = False,
     rate tax at the reference's low-bpp operating points.
 
     clipped: see _encode_one — halves the compaction updates for |sym| <=
-    32000 inputs (stream bytes unchanged). with_esc_counts: additionally
-    return per-image per-section escape counts [B, n_sections] int32
-    (forward section order) — free here, ~100 ms of re-gathers if computed
-    separately from the symbol planes.
+    32000 inputs (stream bytes unchanged). escfree: see _encode_one —
+    halves them AGAIN for zero-escape streams (the speculative fast path;
+    the exact esc counts let the caller detect a miss and re-pack).
+    with_esc_counts: additionally return per-image per-section escape
+    counts [B, n_sections] int32 (forward section order) — free here,
+    ~100 ms of re-gathers if computed separately from the symbol planes.
 
     Layout: [2L flush][sec0 renorm|tier-1|tier-2][sec1 renorm|...]...
     Returns (vals [B, K], mask [B, K][, esc_counts]); pack with
@@ -300,7 +317,7 @@ def encode_stream(sections, table: DeviceCdfTable, clipped: bool = False,
         assert sym.shape[0] == B and sym.shape[2] == L, (
             "all sections of one stream must share (B, L)")
         x, vals, mask, n_esc = _encode_one(sym, idx, table, x,
-                                           clipped=clipped)
+                                           clipped=clipped, escfree=escfree)
         blocks.append((vals, mask))
         escs.append(n_esc)
     blocks.reverse()
@@ -318,13 +335,13 @@ def encode_stream(sections, table: DeviceCdfTable, clipped: bool = False,
 
 def encode_sections(sym: jnp.ndarray, idx: jnp.ndarray,
                     table: DeviceCdfTable, clipped: bool = False,
-                    with_esc_counts: bool = False):
+                    with_esc_counts: bool = False, escfree: bool = False):
     """Encode one single-section stream: sym/idx [B, n, L] int32 (equivalent
     to encode_stream with one section). Returns (vals [B, K] uint16, mask
     [B, K] bool[, esc_counts]); K = 2L + 4nL is the static worst case
-    (2L + 2nL with clipped=True)."""
+    (2L + 2nL with clipped=True, 2L + nL with escfree=True)."""
     return encode_stream([(sym, idx)], table, clipped=clipped,
-                         with_esc_counts=with_esc_counts)
+                         with_esc_counts=with_esc_counts, escfree=escfree)
 
 
 def pack_streams(vals: jnp.ndarray, mask: jnp.ndarray
@@ -349,7 +366,8 @@ def pack_streams(vals: jnp.ndarray, mask: jnp.ndarray
 def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
                    cursor: jnp.ndarray, state: jnp.ndarray,
                    idx: jnp.ndarray, table: DeviceCdfTable,
-                   sparse_esc: bool = False, tier2: bool = True
+                   sparse_esc: bool = False, tier2: bool = True,
+                   escfree: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode one section: idx [B, n, L] int32 -> symbols [B, n, L] int32.
 
@@ -373,6 +391,12 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     escape-heavy streams this is most of the epilogue. A violated guarantee
     (a tier-1 word holding the 0xFFFF marker) poisons the cursor instead of
     decoding garbage.
+    escfree=True: the stream is GUARANTEED to contain NO escapes at all
+    (container config-byte bit 2 — certified per image by the encoder's
+    exact escape counts), which deletes the ENTIRE escape epilogue: the
+    full-plane escape cumsum, the rank->raw rebuild gather, and all
+    side-channel word reads. A decoded escape entry under this guarantee
+    poisons the cursor (corrupt or mis-certified stream).
     Returns (symbols, new_cursor, final lane states [B, L])."""
     B, n, L = idx.shape
     tidx_rows = idx * (1 << PRECISION)  # [B, n, L], add cum at runtime
@@ -417,6 +441,13 @@ def decode_section(words: jnp.ndarray, img_base: jnp.ndarray,
     # negative) carried through the scan as uint32 pair halves
     val = jax.lax.bitcast_convert_type(tr(vals), jnp.int32)   # [B, n, L]
     esc = val >= ESC_FLAG
+
+    if escfree:
+        # certified no-escape stream: symbols ARE the val entries; the only
+        # epilogue work is the violation check (one fused compare+reduce)
+        bad = jnp.any(esc.reshape(B, -1), axis=1)
+        cursor = cursor + ESC_POISON * bad.astype(jnp.int32)
+        return val, cursor, x_fin
 
     # side channel: tier-1 raws (1 word per escape, (step, lane) order),
     # then tier-2 full 32-bit raws for marked escapes

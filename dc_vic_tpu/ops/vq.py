@@ -27,22 +27,20 @@ def _vq_kernel(z_ref, cb_ref, cb_sq_ref, idx_ref):
     idx_ref[:] = jnp.argmin(dist, axis=-1).astype(jnp.int32)[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def vq_argmin(z_flat: jnp.ndarray, codebook: jnp.ndarray,
-              use_pallas: bool = True) -> jnp.ndarray:
-    """Nearest codebook index for each row of z_flat.
+def _vq_argmin_xla(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """XLA fallback (also the off-chip reference the kernel is tested
+    against in tests/test_kernels.py)."""
+    cross = jnp.dot(z_flat.astype(jnp.float32), codebook.T.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    dist = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)[None] - 2.0 * cross
+    return jnp.argmin(dist, axis=-1).astype(jnp.int32)
 
-    z_flat: [M, D] float; codebook: [N, D]. Returns [M] int32.
-    """
+
+def _vq_argmin_pallas(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """The fused kernel path (unjitted so tests can run it through the
+    Pallas interpreter on CPU)."""
     M, D = z_flat.shape
     N = codebook.shape[0]
-
-    if not use_pallas or jax.default_backend() != "tpu":
-        cross = jnp.dot(z_flat.astype(jnp.float32), codebook.T.astype(jnp.float32),
-                        precision=jax.lax.Precision.HIGHEST)
-        dist = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)[None] - 2.0 * cross
-        return jnp.argmin(dist, axis=-1).astype(jnp.int32)
-
     pad_m = (-M) % _TILE_M
     zp = jnp.pad(z_flat, ((0, pad_m), (0, 0)))
     cb_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)[None, :]  # [1, N]
@@ -61,3 +59,15 @@ def vq_argmin(z_flat: jnp.ndarray, codebook: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((zp.shape[0], 1), jnp.int32),
     )(zp, codebook, cb_sq)
     return idx[:M, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def vq_argmin(z_flat: jnp.ndarray, codebook: jnp.ndarray,
+              use_pallas: bool = True) -> jnp.ndarray:
+    """Nearest codebook index for each row of z_flat.
+
+    z_flat: [M, D] float; codebook: [N, D]. Returns [M] int32.
+    """
+    if not use_pallas or jax.default_backend() != "tpu":
+        return _vq_argmin_xla(z_flat, codebook)
+    return _vq_argmin_pallas(z_flat, codebook)

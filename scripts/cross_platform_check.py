@@ -1,0 +1,185 @@
+"""Cross-platform stream decodability proof (VERDICT r4 #2).
+
+The reference's .bin decodes on any machine because BOTH sides derive the
+entropy parameters on CPU f32 (codec_setup moves entropy models +
+hyperdecoder + context model to CPU, ref:
+src/models/comp_model/hyperprior_dc_vic_model.py:70-73,389-440). This
+script proves the same property for the TPU build's compressai format:
+
+  encode phase (run on the TPU):
+    * codec A: params_backend='accel' — entropy parameters from TPU
+      executables at entropy_precision='high' (the f32-faithful mode);
+    * codec B: params_backend='cpu' (the compressai-format default) —
+      entropy parameters from CPU executables, mirroring the reference;
+    both compress the same images; streams + encoder latents + params go
+    to an exchange directory.
+  decode phase (re-exec'd in a JAX_PLATFORMS=cpu subprocess):
+    rebuilds the codec from the SAVED params and decodes each stream set
+    on the CPU-only platform, asserting bit-exact y_hat/z_hat against the
+    encoder's latents (verify_roundtrip) and a clean image decode.
+
+The expected result — A fails or is fragile, B is bit-exact — is recorded
+in docs/artifacts/cross_platform_r5.json and is the measured basis for the
+README's per-mode decodability matrix.
+
+Usage (on the TPU host): python scripts/cross_platform_check.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+EXCHANGE = os.environ.get("CROSS_DIR", "/tmp/dcvic_cross_platform")
+B, H, W = 2, 768, 512
+
+
+def build(params_npz=None):
+    import jax
+    import jax.numpy as jnp
+    from dc_vic_tpu.models import build_comp_model
+    from dc_vic_tpu.utils.config import load_config
+
+    cfg = load_config(os.path.join(REPO, "config", "dc_vic_patchgan.yaml"))
+    cfg["entropy_precision"] = "high"   # the CPU-parity numeric mode
+    spec = build_comp_model(cfg)
+    module = spec.module
+    x_init = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    b = jnp.array([1.0], jnp.float32)
+    params = jax.jit(lambda r: module.init(
+        {"params": r}, x_init, b, b, is_train=False))(jax.random.PRNGKey(0))
+    if params_npz is not None:
+        # decode side: use the ENCODER's exact param bytes (threefry init
+        # is platform-deterministic, but the proof must not depend on it)
+        import jax.tree_util as jtu
+        leaves, treedef = jtu.tree_flatten(params)
+        with np.load(params_npz) as z:
+            saved = [z[f"p{i}"] for i in range(len(leaves))]
+        assert len(saved) == len(leaves)
+        params = jtu.tree_unflatten(
+            treedef, [jnp.asarray(s, l.dtype) for s, l in zip(saved, leaves)])
+    return spec, params
+
+
+def images():
+    rng = np.random.default_rng(7)
+    yy, xx = np.meshgrid(np.linspace(0, 4, H), np.linspace(0, 4, W),
+                         indexing="ij")
+    base = (np.stack([np.sin(yy + p) * np.cos(xx * 0.7 + p)
+                      for p in (0.0, 1.3, 2.1)], axis=-1) + 1.0) * 110.0
+    return np.clip(base[None] + rng.normal(0, 12, (B, H, W, 3)),
+                   0, 255).astype(np.uint8)
+
+
+def encode_phase():
+    import jax
+    import jax.tree_util as jtu
+    from dc_vic_tpu.codec.container import save_byte_strings
+    from dc_vic_tpu.codec.driver import Codec
+
+    os.makedirs(EXCHANGE, exist_ok=True)
+    spec, params = build()
+    leaves, _ = jtu.tree_flatten(params)
+    np.savez(os.path.join(EXCHANGE, "params.npz"),
+             **{f"p{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    imgs = images()
+    np.save(os.path.join(EXCHANGE, "imgs.npy"), imgs)
+    meta = {"encode_platform": jax.default_backend(), "modes": {}}
+    for mode in ("accel", "cpu"):
+        codec = Codec(spec, params, stream_format="compressai",
+                      params_backend=mode)
+        res = codec.compress(imgs, quality_ind=0, debug=True)
+        lat = {}
+        for i, r in enumerate(res):
+            save_byte_strings(
+                os.path.join(EXCHANGE, f"{mode}_{i}.bin"), r["string_list"])
+            lat[f"y{i}"] = r["y_hat"]
+            lat[f"z{i}"] = r["z_hat"]
+        np.savez(os.path.join(EXCHANGE, f"{mode}_latents.npz"), **lat)
+        # encoder-side self-check on its own platform first
+        ok_self = codec.verify_roundtrip(
+            res, [r["string_list"] for r in res], (H, W))
+        meta["modes"][mode] = {"self_roundtrip": bool(ok_self)}
+        print(f"[encode/{jax.default_backend()}] {mode}: "
+              f"self_roundtrip={ok_self}", flush=True)
+    with open(os.path.join(EXCHANGE, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def decode_phase():
+    import jax
+    from dc_vic_tpu.codec.container import load_byte_strings
+    from dc_vic_tpu.codec.driver import Codec
+
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    spec, params = build(os.path.join(EXCHANGE, "params.npz"))
+    with open(os.path.join(EXCHANGE, "meta.json")) as f:
+        meta = json.load(f)
+    out = {}
+    for mode in ("accel", "cpu"):
+        strings = [load_byte_strings(
+            os.path.join(EXCHANGE, f"{mode}_{i}.bin")) for i in range(B)]
+        lat = np.load(os.path.join(EXCHANGE, f"{mode}_latents.npz"))
+        results = [{"y_hat": lat[f"y{i}"], "z_hat": lat[f"z{i}"]}
+                   for i in range(B)]
+        codec = Codec(spec, params, stream_format="compressai")
+        try:
+            exact = bool(codec.verify_roundtrip(results, strings, (H, W)))
+            img = codec.decompress(strings)
+            decoded = bool(img.shape == (B, H, W, 3))
+        except Exception as e:  # a desync can surface as a decode error
+            exact, decoded = False, False
+            print(f"[decode/cpu] {mode}: EXCEPTION {type(e).__name__}: {e}",
+                  flush=True)
+        out[mode] = {"latents_bit_exact": exact, "decoded": decoded}
+        print(f"[decode/cpu] {mode}: latents_bit_exact={exact} "
+              f"decoded={decoded}", flush=True)
+    art = {
+        "what": "TPU-encode -> CPU-decode bit-exactness per params_backend "
+                "(compressai format, entropy_precision=high)",
+        "encode_platform": meta["encode_platform"],
+        "decode_platform": "cpu",
+        "geometry": [B, H, W],
+        "encode_self_roundtrip": {m: meta["modes"][m]["self_roundtrip"]
+                                  for m in meta["modes"]},
+        "cross_platform": out,
+    }
+    path = os.path.join(REPO, "docs", "artifacts", "cross_platform_r5.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art), flush=True)
+
+
+def main():
+    if "--decode" in sys.argv:
+        # The axon TPU plugin force-prepends itself to jax_platforms,
+        # ignoring the JAX_PLATFORMS env var — override via jax.config
+        # BEFORE any backend initializes (same workaround as
+        # tests/conftest.py).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/jax_cross_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        decode_phase()
+        return
+    encode_phase()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_PLATFORM_NAME", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cross_cache")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--decode"], env=env)
+    sys.exit(r.returncode)
+
+
+if __name__ == "__main__":
+    main()

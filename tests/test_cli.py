@@ -19,6 +19,10 @@ from PIL import Image
 
 from helpers import tiny_config
 
+# Compile-heavy (subprocess / portable-matrix / mesh) — excluded from the
+# dev profile `pytest -m 'not slow'` (VERDICT r4 #9); CI runs everything.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPTS = os.path.join(REPO, "scripts")
 

@@ -49,10 +49,12 @@ def test_header_roundtrip():
                 h = HeaderHandler.encode((768, 512), 17, 3, tpu_format=fmt,
                                          lanes=512, portable=portable,
                                          esc_dense=esc_dense, t2free=t2free,
-                                         encode_batch=16)
+                                         encode_batch=16, fast_entropy=fmt,
+                                         bf16=True)
                 # compressai headers keep the reference's 6-byte layout; tpu
-                # headers append a uint16 encode-batch field
-                assert len(h) == (8 if fmt else 6)
+                # headers append a uint16 encode-batch field + a numeric-
+                # config byte (entropy_precision / codec_dtype)
+                assert len(h) == (9 if fmt else 6)
                 d = HeaderHandler.decode(h)
                 assert d["img_size"] == (768, 512)
                 assert d["quality_ind"] == 3
@@ -63,10 +65,12 @@ def test_header_roundtrip():
                     assert d["encode_batch"] == 16
                     assert d["esc_dense"] is esc_dense
                     assert d["t2free"] is t2free
+                    assert d["fast_entropy"] is True and d["bf16"] is True
                 else:
                     assert d["max_sample"] == 17 and d["lanes"] is None
                     assert d["encode_batch"] is None
                     assert d["t2free"] is None
+                    assert d["fast_entropy"] is None and d["bf16"] is None
 
 
 def test_header_legacy_6byte_tpu():
@@ -310,6 +314,75 @@ def test_entropy_precision_default_roundtrip():
     # expected there; on TPU the bf16 single-pass mode must differ.
     if jax.default_backend() == "tpu":
         assert streams["high"] != streams["default"]
+
+
+def test_entropy_precision_mismatch_fails_fast():
+    """tpu-format headers record the stream-defining numeric config
+    (entropy_precision / codec_dtype, ADVICE r4): a decoder built with the
+    other setting must raise instead of silently desyncing."""
+    from helpers import tiny_config
+    cfg = tiny_config()
+    rng = jax.random.PRNGKey(0)
+    beta = jnp.array([1.0])
+    img = np.random.default_rng(6).integers(0, 256, (1, 64, 64, 3), np.uint8)
+    codecs = {}
+    for pr in ("high", "default"):
+        cfg["entropy_precision"] = pr
+        spec = build_comp_model(cfg)
+        params = jax.jit(
+            lambda r, xx: spec.module.init({"params": r}, xx, beta, beta,
+                                           is_train=False))(
+            rng, jnp.zeros((1, 64, 64, 3)))
+        codecs[pr] = Codec(spec, params, stream_format="tpu",
+                           encode_backend="device")
+    res = codecs["default"].compress(img, quality_ind=0)
+    with pytest.raises(ValueError, match="entropy_precision"):
+        codecs["high"].decompress([res[0]["string_list"]])
+    # the matching codec decodes fine
+    out = codecs["default"].decompress([res[0]["string_list"]])
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_invalid_numeric_knobs_rejected_at_build():
+    """A typo'd entropy_precision/codec_dtype YAML value fails at
+    build_comp_model with a readable error, not at first trace (ADVICE
+    r4)."""
+    from helpers import tiny_config
+    cfg = tiny_config()
+    cfg["entropy_precision"] = "hgih"
+    with pytest.raises(ValueError, match="entropy_precision"):
+        build_comp_model(cfg)
+    cfg2 = tiny_config()
+    cfg2["codec_dtype"] = "bf16"  # must be spelled "bfloat16"
+    with pytest.raises(ValueError, match="codec_dtype"):
+        build_comp_model(cfg2)
+
+
+def test_escfree_certification_consistent(codec):
+    """r5 speculative pack: the header's escape-free certification must be
+    CONSISTENT with the stream content — a certified stream decodes through
+    the epilogue-free fast path bit-exactly (verify_roundtrip reads the
+    header bit), an uncertified one falls back through the clipped pack
+    and still roundtrips. Whether a given stream certifies depends on the
+    model's mu/sigma fit (the tiny PRNG model produces escapes; the bench
+    flagship at the contract workload measures zero — certification is
+    exercised on-chip either way); the escfree coder paths themselves are
+    pinned in tests/test_rans_device.py."""
+    if codec.stream_format != "tpu":
+        pytest.skip("escfree is a tpu-format certification")
+    rng = np.random.default_rng(17)
+    seen = set()
+    for amp, B in ((0.2, 2), (50.0, 1)):
+        img = (rng.uniform(-1, 1, (B, 64, 64, 3)) * amp).astype(np.float32)
+        res = codec.compress(img, quality_ind=0, debug=True)
+        hdrs = [HeaderHandler.decode(r["string_list"][0]) for r in res]
+        assert codec.verify_roundtrip(res, [r["string_list"] for r in res],
+                                      (64, 64))
+        out = codec.decompress([r["string_list"] for r in res])
+        assert out.shape == (B, 64, 64, 3)
+        seen.update(bool(h["escfree"]) for h in hdrs)
+    # the driver must have produced valid headers either way
+    assert seen <= {True, False} and seen
 
 
 def test_pathological_symbols_clip_consistently(codec):

@@ -14,6 +14,10 @@ from dc_vic_tpu.codec.driver import Codec
 from dc_vic_tpu.models import build_comp_model
 from dc_vic_tpu.parallel import make_mesh
 
+# Compile-heavy (subprocess / portable-matrix / mesh) — excluded from the
+# dev profile `pytest -m 'not slow'` (VERDICT r4 #9); CI runs everything.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def built():

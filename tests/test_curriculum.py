@@ -21,6 +21,10 @@ from dc_vic_tpu.train.optim import build_optimizer, reset_schedule_counts
 from dc_vic_tpu.train.trainer import Trainer, build_trainer
 from dc_vic_tpu.utils.config import Config
 
+# Compile-heavy (subprocess / portable-matrix / mesh) — excluded from the
+# dev profile `pytest -m 'not slow'` (VERDICT r4 #9); CI runs everything.
+pytestmark = pytest.mark.slow
+
 
 def _make_images(root, n=4, size=72):
     os.makedirs(root, exist_ok=True)

@@ -424,3 +424,79 @@ def test_clipped_encode_poisons_on_tier2():
     _, _, esc = encode_stream([(jnp.asarray(sym), jnp.asarray(idx))], dt,
                               clipped=True, with_esc_counts=True)
     assert int(np.asarray(esc)[0, 0]) >= CLIP_POISON
+
+
+def test_escfree_encode_matches_and_counts():
+    """The escfree=True speculative pack (r5: ONE compaction update per
+    symbol) must emit byte-identical streams to the dense/clipped packs
+    whenever no escape fires, and report exact escape counts so the driver
+    can detect a speculation miss."""
+    table = _gaussian_table()
+    dt = DeviceCdfTable(table)
+    rng = np.random.default_rng(31)
+    B, n, L = 2, 64, 8
+    # symbols guaranteed in-range for every row of the table
+    idx = rng.integers(0, 4, (B, n, L)).astype(np.int32)
+    maxv = np.asarray(dt.maxv)[idx]
+    off = np.asarray(dt.offsets)[idx]
+    sym = (off + rng.integers(0, 1000, (B, n, L)) % np.maximum(maxv, 1)
+           ).astype(np.int32)
+    secs = [(jnp.asarray(sym), jnp.asarray(idx))] * 2
+
+    vd, md = encode_stream(secs, dt)
+    ve, me, esc = encode_stream(secs, dt, escfree=True, with_esc_counts=True)
+    assert np.asarray(esc).sum() == 0
+    pd, cd = pack_streams(vd, md)
+    pe, ce = pack_streams(ve, me)
+    assert np.array_equal(np.asarray(cd), np.asarray(ce))
+    total = int(np.asarray(cd).sum())
+    assert np.array_equal(np.asarray(pd)[:total], np.asarray(pe)[:total])
+
+    # with escapes present, the exact counts flag the miss
+    sym2 = sym.copy()
+    sym2[1, 3, 2] = 30000
+    _, _, esc2 = encode_stream([(jnp.asarray(sym2), jnp.asarray(idx))], dt,
+                               escfree=True, with_esc_counts=True)
+    got = np.asarray(esc2)
+    assert got[0, 0] == 0 and got[1, 0] >= 1
+
+
+def test_escfree_decode_matches_and_poisons():
+    """decode_section(escfree=True) must decode zero-escape streams
+    bit-exactly with the epilogue deleted, and poison the cursor of any
+    image whose stream contains an escape despite the guarantee."""
+    table = _gaussian_table()
+    rng = np.random.default_rng(32)
+    B, N = 2, 2048
+    idx = rng.integers(0, 4, (B, N), np.int32)
+    dt0 = DeviceCdfTable(table)
+    maxv = np.asarray(dt0.maxv)[idx]
+    off = np.asarray(dt0.offsets)[idx]
+    sym = (off + rng.integers(0, 1000, (B, N)) % np.maximum(maxv, 1)
+           ).astype(np.int32)
+    dt, words, base, L, counts = _encode_for_decode(sym, idx, table,
+                                                    n_sections=2)
+    ns = N // 2
+    cursor = jnp.zeros((B,), jnp.int32)
+    state = None
+    out = []
+    for s in range(2):
+        sl = slice(s * ns, (s + 1) * ns)
+        dec, cursor, state = decode_section(
+            words, base, cursor, state,
+            jnp.asarray(idx[:, sl].reshape(B, -1, L)), dt, escfree=True)
+        out.append(np.asarray(dec).reshape(B, -1))
+    assert np.array_equal(np.concatenate(out, axis=1), sym)
+    assert np.array_equal(np.asarray(cursor), counts)
+
+    # violation: an escape symbol in image 1 poisons ONLY image 1's cursor
+    sym2 = sym.copy()
+    sym2[1, 5] = 32000
+    dt, words, base, L, counts = _encode_for_decode(sym2, idx, table)
+    dec, cursor, _ = decode_section(
+        words, base, jnp.zeros((B,), jnp.int32), None,
+        jnp.asarray(idx.reshape(B, -1, L)), dt, escfree=True)
+    cur = np.asarray(cursor)
+    assert cur[1] >= ESC_POISON
+    assert cur[0] == counts[0]
+    assert np.array_equal(np.asarray(dec)[0].reshape(-1), sym2[0])
