@@ -222,6 +222,21 @@ def main():
     dev_total = dev["enc_s"] + dev["dec_s"]
     dev_ips = BATCH / dev_total
 
+    # The CLI-shipped default is --portable (batch-decoupled streams,
+    # scripts/compress.py): measure its device cycle too so the shipped
+    # path's throughput is recorded, not just the fast batch-coupled mode
+    # (VERDICT r4 #3). Set BENCH_PORTABLE=0 to skip.
+    portable_dev = None
+    if os.environ.get("BENCH_PORTABLE", "1") == "1":
+        pcodec = Codec(spec, params, lanes=LANES, encode_backend=BACKEND,
+                       portable=True)
+        pdev = pcodec.bench_device_cycle(imgs, quality_ind=0)
+        portable_dev = {
+            "device_only": round(BATCH / (pdev["enc_s"] + pdev["dec_s"]), 3),
+            "device_enc_s": round(pdev["enc_s"], 3),
+            "device_dec_s": round(pdev["dec_s"], 3),
+        }
+
     print(json.dumps({
         "metric": "images/sec/chip enc+dec at Kodak 768x512",
         "value": round(ips, 3),
@@ -232,6 +247,7 @@ def main():
         "device_only": round(dev_ips, 3),
         "device_enc_s": round(dev["enc_s"], 3),
         "device_dec_s": round(dev["dec_s"], 3),
+        "portable": portable_dev,
         "cycles_s": [round(t, 3) for t in cycle_times],
         "fetch_s": [round(t, 3) for t in fetch_s],
         "finalize_s": [round(t, 3) for t in finalize_s],

@@ -147,12 +147,13 @@ class Codec:
         self.params_backend = params_backend
         assert lanes & (lanes - 1) == 0 and 1 <= lanes <= 4096, lanes
         # Portable mode pins the param chain to single-device batch-1
-        # executables; a mesh codec's sharded lowerings are exactly the
-        # coupling it exists to avoid.
-        assert not (portable and mesh is not None), (
-            "portable=True is incompatible with a mesh codec: portable "
-            "streams are defined by single-device batch-1 canonical "
-            "executables (decode them on a non-mesh Codec)")
+        # canonical executables. Under a mesh (r5, lifting the r4
+        # exclusion) those executables run on mesh device 0 — single-device
+        # avals, so the lowering is IDENTICAL to a non-mesh codec's on the
+        # same platform — while the front, integer entropy scans, pack and
+        # reconstruction stay batched/sharded. Streams encoded on an
+        # N-device mesh therefore decode bit-exactly on one device (or any
+        # mesh), and vice versa.
         self.portable = portable
         # interleave-lane cap for tpu-format streams: rate (4 B/lane/section)
         # vs decode latency; recorded in the header so any codec can decode
@@ -170,11 +171,16 @@ class Codec:
         # decode tpu-format streams on the same mesh shape that encoded them
         # (the compressai format has no such coupling — host-coded).
         self.mesh = mesh
+        self._canon_dev = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             self._repl = NamedSharding(mesh, PartitionSpec())
             self._bsh = NamedSharding(mesh, PartitionSpec(data_axis))
             params = jax.device_put(params, self._repl)
+            if portable:
+                # canonical single-device home for the portable param chain
+                self._canon_dev = mesh.devices.flat[0]
+                self._params_canon = jax.device_put(params, self._canon_dev)
         self.params = params
         # CPU copy of the params for the cpu entropy-parameter chain (jit
         # placement follows committed operands, so the chain executables
@@ -253,6 +259,27 @@ class Codec:
         if isinstance(x, jax.Array):
             return jax.device_put(x, self._cpu_dev)
         return jax.device_put(np.asarray(x), self._cpu_dev)
+
+    def _canon_put(self, x):
+        """Commit a portable canonical-chain operand to its single-device
+        home (mesh device 0 under a mesh; identity otherwise — canonical
+        executables then follow the default placement)."""
+        if self._canon_dev is None:
+            return x
+        return jax.device_put(x, self._canon_dev)
+
+    def _canon_params(self):
+        return (self._params_canon if self._canon_dev is not None
+                else self._params_chain)
+
+    def _stack_canon(self, parts):
+        """Batch-concat per-image canonical outputs and hand them back to
+        the batched (mesh-sharded) stages."""
+        out = (parts[0] if len(parts) == 1
+               else self._get_jit(("stack0",), self._stack0_fn)(*parts))
+        if self.mesh is not None:
+            out = jax.device_put(out, self._bsh)
+        return out
 
     def _ensure_dtables(self):
         if not self._dtables:
@@ -663,12 +690,14 @@ class Codec:
         the encoder-only y (never recomputed by a decoder) cross the
         per-image slicing boundary. Costs O(B) extra dispatches; the
         front, pack, and reconstruction stay batched. (Called with y/z_sym
-        already committed to the chain platform by _encode_param_chain.)"""
-        p = self._params_chain
+        already committed to the chain platform by _encode_param_chain.)
+        Under a mesh the chain runs on the canonical single device (mesh
+        device 0) and the stacked outputs are resharded for the batched
+        pack (see __init__)."""
+        p = self._canon_params()
         B, yH, yW = y.shape[0], y.shape[1], y.shape[2]
         hyper = self._get_jit(("hyper", (1,) + z_sym.shape[1:]),
                               self._hyper_decode_fn)
-        stack = self._get_jit(("stack0",), self._stack0_fn)
         ys, yi, yh, zh = [], [], [], []
         if self.module.use_charm:
             cat16 = self._get_jit(("cat16",), self._concat_i16_fn)
@@ -676,8 +705,8 @@ class Codec:
             p0 = self._get_jit(("slice_p", 0, (1, yH, yW)),
                                lambda: self._slice_params_fn(0))
             for b in range(B):
-                ho, z_hat_b = hyper(p, z_sym[b:b + 1])
-                y_b = y[b:b + 1]
+                ho, z_hat_b = hyper(p, self._canon_put(z_sym[b:b + 1]))
+                y_b = self._canon_put(y[b:b + 1])
                 y_prev = jnp.zeros((1, yH, yW, 0), jnp.float32)
                 mu, idx = p0(p, ho, y_prev)
                 syms, idxs = [], []
@@ -699,16 +728,15 @@ class Codec:
             sq = self._get_jit(("ysymq",), self._y_symbolize_fn)
             dq = self._get_jit(("ydq",), self._y_dequant_fn)
             for b in range(B):
-                ho, z_hat_b = hyper(p, z_sym[b:b + 1])
+                ho, z_hat_b = hyper(p, self._canon_put(z_sym[b:b + 1]))
                 means, idx = ymi(p, ho)
-                sym = sq(p, y[b:b + 1], means)
+                sym = sq(p, self._canon_put(y[b:b + 1]), means)
                 ys.append(sym)
                 yi.append(idx)
                 yh.append(dq(p, sym, means))
                 zh.append(z_hat_b)
-        if B == 1:
-            return ys[0], yi[0], yh[0], zh[0]
-        return stack(*ys), stack(*yi), stack(*yh), stack(*zh)
+        return (self._stack_canon(ys), self._stack_canon(yi),
+                self._stack_canon(yh), self._stack_canon(zh))
 
     def _encode_param_chain(self, y, z_sym):
         """Shared-executable encode chain: derive hyper_out, per-slice
@@ -1353,13 +1381,13 @@ class Codec:
         non-charm means) is computed per image at the canonical batch-1
         shape, mirroring _encode_param_chain_portable. Integers (decoded
         symbol planes, cdf indexes) are sliced/stacked across the
-        per-image <-> batched boundary, which is exact by construction."""
-        p = self.params
+        per-image <-> batched boundary, which is exact by construction.
+        Under a mesh the canonical chain runs on mesh device 0 and stacked
+        results reshard into the batched scans (see __init__)."""
+        p = self._canon_params() if self.mesh is not None else self.params
         Cy = self.module.bottleneck_y
-        stack = self._get_jit(("stack0",), self._stack0_fn)
-
-        def stk(parts):
-            return parts[0] if B == 1 else stack(*parts)
+        stk = self._stack_canon
+        cput = self._canon_put
 
         zdec = self._get_jit(("zdec", B, zH, zW, lanes, sparse_esc, tier2,
                               escfree),
@@ -1371,7 +1399,7 @@ class Codec:
                               self._hyper_decode_fn)
         hos, zhs = [], []
         for b in range(B):
-            ho_b, zh_b = hyper(p, z_sym[b:b + 1])
+            ho_b, zh_b = hyper(p, cput(z_sym[b:b + 1]))
             hos.append(ho_b)
             zhs.append(zh_b)
         z_hat = stk(zhs)
@@ -1401,7 +1429,7 @@ class Codec:
                                    lambda i=i: self._slice_step_fn(i))
                 for b in range(B):
                     y_prevs[b], mus[b], idxs[b] = sf(
-                        p, hos[b], y_prevs[b], sym[b:b + 1], mus[b])
+                        p, hos[b], y_prevs[b], cput(sym[b:b + 1]), mus[b])
             y_hat = stk(y_prevs)
         else:
             ymi = self._get_jit(("ymi",), self._y_means_idx_fn)
@@ -1420,13 +1448,16 @@ class Codec:
             sym, cursor, state = yd(y_words, y_base, cursor, state,
                                     stk(idxs))
             dq = self._get_jit(("ydq",), self._y_dequant_fn)
-            y_hat = stk([dq(p, sym[b:b + 1], means[b]) for b in range(B)])
+            y_hat = stk([dq(p, cput(sym[b:b + 1]), means[b])
+                         for b in range(B)])
         res = dict(y_hat=y_hat, z_hat=z_hat,
                    consumed_words=jnp.stack([z_cursor, cursor], axis=0))
         if recon:
             rec = self._get_jit(("recon_flat", (B, yH, yW, Cy)),
                                 self._recon_fn)
-            res["img"] = rec(p, y_hat, b1, b2)
+            # reconstruction is the batched (mesh-replicated-params) stage,
+            # not part of the canonical chain
+            res["img"] = rec(self.params, y_hat, b1, b2)
         return res
 
     def _decompress_tpu(self, z_strs: List[bytes], y_strs: List[bytes],
@@ -1560,6 +1591,7 @@ class Codec:
                                         B, zH, zW, yH, yW, self.lanes,
                                         sparse_esc=not esc_dense,
                                         recon=True, b1=b1, b2=b2,
+                                        portable=self.portable,
                                         tier2=not t2free, escfree=escfree)
             return jax.block_until_ready((out["img"],
                                           out["consumed_words"]))

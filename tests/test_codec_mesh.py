@@ -107,3 +107,44 @@ def test_mesh_codec_matches_pixel_stats(built):
     assert frac_diff < 0.02, f"{frac_diff=}"
     assert np.max(np.abs(out_ref.astype(np.int32)
                          - out_mesh.astype(np.int32))) <= 2
+
+
+def test_mesh_portable_streams_decode_on_single_device(built):
+    """r5 (lifting the r4 portable x mesh exclusion): a portable stream
+    encoded on an 8-device mesh must decode BIT-EXACTLY on a plain
+    single-device codec, at any batch grouping — the canonical batch-1
+    param-chain executables run on mesh device 0, which is the same
+    single-device lowering a non-mesh codec compiles."""
+    spec, params = built
+    mesh = make_mesh(8)
+    mcodec = Codec(spec, params, stream_format="tpu", mesh=mesh,
+                   portable=True)
+    imgs = _images()
+    res = mcodec.compress(imgs, quality_ind=1, debug=True)
+    strings = [r["string_list"] for r in res]
+    # mesh self-check first
+    assert mcodec.verify_roundtrip(res, strings, (64, 64))
+
+    scodec = Codec(spec, params, stream_format="tpu", portable=True)
+    # per-image decode on one device (the headline portable property)
+    for b in range(len(strings)):
+        assert scodec.verify_roundtrip([res[b]], [strings[b]], (64, 64)), b
+    # and an arbitrary grouping
+    assert scodec.verify_roundtrip(res[:3], strings[:3], (64, 64))
+    out = scodec.decompress(strings[:3])
+    assert out.shape == (3, 64, 64, 3)
+
+
+def test_single_device_portable_streams_decode_on_mesh(built):
+    """The reverse direction: portable streams from a single-device codec
+    decode bit-exactly on an 8-device mesh codec."""
+    spec, params = built
+    scodec = Codec(spec, params, stream_format="tpu", portable=True)
+    imgs = _images()
+    res = scodec.compress(imgs, quality_ind=1, debug=True)
+    strings = [r["string_list"] for r in res]
+    mcodec = Codec(spec, params, stream_format="tpu", mesh=make_mesh(8),
+                   portable=True)
+    assert mcodec.verify_roundtrip(res, strings, (64, 64))
+    out = mcodec.decompress(strings)
+    assert out.shape == imgs.shape
