@@ -145,10 +145,13 @@ def test_nonportable_batch_mismatch_fails_fast(built):
         codec.decompress([sls[0]])
 
 
-def test_portable_mesh_incompatible(built):
+def test_portable_mesh_construction(built):
+    """r5 lifted the r4 portable x mesh exclusion: a portable mesh codec
+    constructs, pins its canonical chain to mesh device 0, and the
+    cross-decode directions are pinned in test_codec_mesh."""
     spec, params = built
     from jax.sharding import Mesh
     devs = np.array(jax.devices()[:2])
-    with pytest.raises(AssertionError, match="portable"):
-        Codec(spec, params, portable=True,
-              mesh=Mesh(devs, axis_names=("data",)))
+    codec = Codec(spec, params, portable=True,
+                  mesh=Mesh(devs, axis_names=("data",)))
+    assert codec.portable and codec._canon_dev == jax.devices()[0]
