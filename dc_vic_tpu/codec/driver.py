@@ -1253,8 +1253,11 @@ class Codec:
         from .tiling import SPLIT_RESOLUTION
         if max(H, W) > SPLIT_RESOLUTION:
             fake = self._split_reconstruct(y_hat, b1, b2, B, padH, padW)
-            fake = fake[:, :H, :W, :]
-            pending = PendingImages(fake, None, keep=keep)
+            try:
+                fake.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending = PendingImages(fake, (B, padH, padW, H, W), keep=keep)
             return pending if defer_fetch else pending.fetch()
 
         recon = self._get_jit(("recon_flat", (B, yH, yW, Cy)), self._recon_fn)
@@ -1506,9 +1509,13 @@ class Codec:
             return out
         if split:
             fake = self._split_reconstruct(out["y_hat"], b1, b2, B,
-                                           padH, padW)[:, :H, :W, :]
+                                           padH, padW)
+            try:
+                fake.copy_to_host_async()
+            except AttributeError:
+                pass
             check()
-            pending = PendingImages(fake, None, keep=keep)
+            pending = PendingImages(fake, (B, padH, padW, H, W), keep=keep)
             return pending if defer_fetch else pending.fetch()
         img = out["img"]
         try:
@@ -1711,11 +1718,82 @@ class Codec:
             ok &= bool(np.array_equal(z_hat[b], r["z_hat"]))
         return ok
 
+    # tile-batch size for the chunked split-path executables: big enough to
+    # fill the chip (the bench batch), bounding compile buckets to one shape
+    _TILE_CHUNK = 16
+
     def _split_vq_encode(self, x: np.ndarray):
         """Tile-batched VQGAN encode for >1024px images: fixed 512px windows,
         stride 256, center-crop stitching of the pre-quant latent, then one
         full-image quantize (TPU-first form of _vq_encode_split, ref:
-        hyperprior_vic_model.py:190-246)."""
+        hyperprior_vic_model.py:190-246).
+
+        r5 device-resident rewrite (VERDICT r4 #6): the padded image is
+        uploaded ONCE as a flat uint8 buffer; tile extraction (static
+        slices), the chunked VQGAN-encode tile batches, and the /8-latent
+        overlap-discard stitch all run on device — the old path re-uploaded
+        every overlapping tile (2.5x the image bytes over a ~30 MB/s link)
+        and round-tripped every tile latent through the host."""
+        from .tiling import ENC_STRIDE, ENC_WINDOW, tile_starts
+        if self.mesh is not None:
+            return self._split_vq_encode_host(x)
+        B, H, W, _ = x.shape
+        tops = tile_starts(H, ENC_WINDOW, ENC_STRIDE)
+        lefts = tile_starts(W, ENC_WINDOW, ENC_STRIDE)
+        T = len(tops) * len(lefts)
+        chunk = self._TILE_CHUNK
+        TB = T * B
+        pad = (-TB) % chunk
+
+        ext = self._get_jit(
+            ("enc_tiles", x.shape, tuple(tops), tuple(lefts), pad),
+            lambda: jax.jit(lambda xf: jnp.concatenate(
+                [xf.reshape(x.shape)[:, t:t + ENC_WINDOW, l:l + ENC_WINDOW]
+                 for t in tops for l in lefts]
+                + ([xf.reshape(x.shape)[:1, :ENC_WINDOW, :ENC_WINDOW]] * pad),
+                axis=0)))
+        tiles = ext(jnp.asarray(np.ascontiguousarray(x).reshape(-1)))
+        vq_tile = self._get_jit(("vqtile", (chunk, ENC_WINDOW)),
+                                self._vq_tile_fn)
+        outs = [vq_tile(self.params, tiles[k:k + chunk])
+                for k in range(0, TB + pad, chunk)]
+        df = 8
+        w8 = ENC_WINDOW // df
+        D = int(self.module.embed_dim)
+        tops8 = [t // df for t in tops]
+        lefts8 = [l // df for l in lefts]
+
+        def make_stitch():
+            from .tiling import keep_region
+
+            def f(*parts):
+                lat = jnp.concatenate(parts, axis=0)[:TB]
+                canvas = jnp.zeros((B, H // df, W // df, D), lat.dtype)
+                k = 0
+                for i, t in enumerate(tops8):
+                    for j, l in enumerate(lefts8):
+                        tile = lat[k * B:(k + 1) * B]
+                        k += 1
+                        t0, t1 = keep_region(tops8, i, w8,
+                                             ENC_STRIDE // df, H // df)
+                        l0, l1 = keep_region(lefts8, j, w8,
+                                             ENC_STRIDE // df, W // df)
+                        canvas = canvas.at[:, t0:t1, l0:l1].set(
+                            tile[:, t0 - t:t1 - t, l0 - l:l1 - l])
+                return canvas
+            return jax.jit(f)
+
+        # NOTE: concat is position-major [T*B]; lat[k*B:(k+1)*B] is tile k
+        stitch = self._get_jit(
+            ("enc_stitch", (B, H, W), tuple(tops8), tuple(lefts8)),
+            make_stitch)
+        h = stitch(*outs)
+        quant = self._get_jit(("vqquant", h.shape), self._vq_quantize_fn)
+        return quant(self.params, h)
+
+    def _split_vq_encode_host(self, x: np.ndarray):
+        """Host-stitched fallback (mesh codecs: tile batches stay [B]-major
+        and batch-sharded)."""
         from .tiling import ENC_STRIDE, ENC_WINDOW, extract_tiles, stitch_tiles
         B, H, W, _ = x.shape
         tiles, tops, lefts = extract_tiles(x, ENC_WINDOW, ENC_STRIDE)
@@ -1733,11 +1811,81 @@ class Codec:
         quant = self._get_jit(("vqquant", h.shape), self._vq_quantize_fn)
         return quant(self.params, self._put_batch(h))
 
+    def _recon_tiles_fn(self, chunk: int, C: int):
+        """Reconstruct one tile batch, NHWC uint8 out (split path)."""
+        def f(p, tiles, b1, b2):
+            return self.module.apply(
+                p, tiles, b1, b2, method=self.module.reconstruct_uint8)
+        return jax.jit(f)
+
     def _split_reconstruct(self, y_hat, b1, b2, B, padH, padW):
-        """Overlap-tiled reconstruction for >1024px outputs: 32-cell y windows
-        (=512px), stride 16 (=256px), overlap-discard stitching of uint8 tiles
-        (TPU-first form of decode_split, ref: hyperprior_vic_model.py:413-473,
-        reusing the small-image reconstruction graph per tile batch)."""
+        """Overlap-tiled reconstruction for >1024px outputs: 32-cell y
+        windows (=512px), stride 16 (=256px), overlap-discard stitching
+        (TPU-first form of decode_split, ref: hyperprior_vic_model.py:
+        413-473).
+
+        r5 device-resident rewrite (VERDICT r4 #6): y_hat never leaves the
+        device — tile extraction (static slices), chunked tile-batch
+        reconstruction (one fixed [16, 32, 32, C] executable instead of T
+        batch-B dispatches), and the overlap-discard stitch into the padded
+        canvas all run on device; ONE flat uint8 buffer (1x the image area)
+        crosses the link instead of every overlapping 512px tile (2.5x the
+        area). Returns the flat device buffer [B*padH*padW*3]."""
+        from .tiling import (DEC_STRIDE_Y, DEC_WINDOW_Y, keep_region,
+                             tile_starts)
+        if self.mesh is not None:
+            return self._split_reconstruct_host(y_hat, b1, b2, B, padH, padW)
+        C = y_hat.shape[-1]
+        yH, yW = y_hat.shape[1], y_hat.shape[2]
+        tops = tile_starts(yH, DEC_WINDOW_Y, DEC_STRIDE_Y)
+        lefts = tile_starts(yW, DEC_WINDOW_Y, DEC_STRIDE_Y)
+        T = len(tops) * len(lefts)
+        chunk = self._TILE_CHUNK
+        TB = T * B
+        pad = (-TB) % chunk
+
+        ext = self._get_jit(
+            ("dec_tiles", y_hat.shape, tuple(tops), tuple(lefts), pad),
+            lambda: jax.jit(lambda y: jnp.concatenate(
+                [y[:, t:t + DEC_WINDOW_Y, l:l + DEC_WINDOW_Y]
+                 for t in tops for l in lefts]
+                + ([y[:1, :DEC_WINDOW_Y, :DEC_WINDOW_Y]] * pad), axis=0)))
+        tiles = ext(y_hat)
+        recon = self._get_jit(("recon_tiles", chunk, C),
+                              lambda: self._recon_tiles_fn(chunk, C))
+        outs = [recon(self.params, tiles[k:k + chunk], b1, b2)
+                for k in range(0, TB + pad, chunk)]
+
+        px = self.y_stride
+
+        def make_stitch():
+            def f(*parts):
+                t_all = jnp.concatenate(parts, axis=0)[:TB]
+                canvas = jnp.zeros((B, padH, padW, 3), jnp.uint8)
+                k = 0
+                for i, t in enumerate(tops):
+                    for j, l in enumerate(lefts):
+                        tile = t_all[k * B:(k + 1) * B]
+                        k += 1
+                        t0, t1 = keep_region(tops, i, DEC_WINDOW_Y,
+                                             DEC_STRIDE_Y, padH // px)
+                        l0, l1 = keep_region(lefts, j, DEC_WINDOW_Y,
+                                             DEC_STRIDE_Y, padW // px)
+                        canvas = canvas.at[
+                            :, t0 * px:t1 * px, l0 * px:l1 * px].set(
+                            tile[:, (t0 - t) * px:(t1 - t) * px,
+                                 (l0 - l) * px:(l1 - l) * px])
+                return canvas.reshape(-1)
+            return jax.jit(f)
+
+        stitch = self._get_jit(
+            ("dec_stitch", (B, padH, padW), tuple(tops), tuple(lefts)),
+            make_stitch)
+        return stitch(*outs)
+
+    def _split_reconstruct_host(self, y_hat, b1, b2, B, padH, padW):
+        """Host-stitched fallback (mesh codecs). Returns np [B,padH,padW,3]
+        reshaped flat for a uniform caller contract."""
         from .tiling import (DEC_STRIDE_Y, DEC_WINDOW_Y, extract_tiles,
                              stitch_tiles)
         y_np = np.asarray(y_hat)
@@ -1752,7 +1900,8 @@ class Codec:
                 for k in range(T)]
         return stitch_tiles(
             np.concatenate(outs, axis=0), (B, padH, padW, 3),
-            tops, lefts, DEC_WINDOW_Y, DEC_STRIDE_Y, scale=self.y_stride)
+            tops, lefts, DEC_WINDOW_Y, DEC_STRIDE_Y,
+            scale=self.y_stride).reshape(-1)
 
     def _charm_decode(self, hyper_out, y_strs: List[bytes], B, yH, yW, Cy):
         """Per-slice sequential host-coded decode, through the SAME slice

@@ -172,6 +172,196 @@ def run_gan_soak(args, repo, train_root, eval_root):
     print("gan soak gates passed")
 
 
+def run_curriculum(args, repo, train_root, eval_root):
+    """Full 4-stage curriculum chained ON THE CHIP (VERDICT r4 #8), at soak
+    scale, with the REAL cross-exp load_checkpoint knobs exercised at each
+    of the three handoffs (ref: config/exp1_stage1_2.yaml:6-13,
+    dual_cond_gan_distortion_vq_code_trainer.py:348-431):
+
+      s1 stage1_1-style: non-beta HyperpriorCharmVicModel, ElicVqCatSc
+         encoder + ElicFeatFusionDecoder, RateDistortionVqCodeTrainer.
+         Gate: eval RD objective J improves first -> last.
+      s2 stage1_2-style: dual-beta model; handoff loads s1 with
+         strict=False (cross-ARCHITECTURE partial restore: the shared
+         hyper/context/estimator/fusion subtrees carry over, the new
+         beta-FiLM encoder/decoder start fresh), load_optimizer=False.
+         Gates: corner J improves; beta corners ordered sanely (higher
+         beta_rate corner emits fewer bpp).
+      s3 stage1_3-style GAN: handoff loads s2 strict=True,
+         load_optimizer=False, load_discriminator=False (fresh D).
+         Gates: zero NaN-skips, d_loss in (0.05, 3), corner PSNR within
+         1.5 dB of s2, corner bpp within 10% (entropy path frozen).
+      s4 stage3-style GAN: selected beta pairs on; handoff loads s3 with
+         load_optimizer=True + new_g_lr=5e-5 + load_discriminator=True
+         (warm D) + strict=True. Gates: zero NaN-skips, d_loss sane,
+         corner PSNR within 1.0 dB of s3.
+    """
+    import csv
+    import json
+
+    from dc_vic_tpu.train.trainer import build_trainer
+    from dc_vic_tpu.utils.config import load_config
+    from dc_vic_tpu.utils.paths import PathHandler
+
+    cfg_path = args.config or os.path.join(repo, "docs", "artifacts",
+                                           "soak_gan_config.yaml")
+    iters, ev = args.iters, args.eval_step
+    art = os.path.join(repo, "docs", "artifacts", "curriculum_r5")
+    os.makedirs(art, exist_ok=True)
+    verdict = {"iters_per_stage": iters, "stages": {}, "gates": {}}
+
+    def base_opt(exp):
+        opt = load_config(cfg_path, is_train=True)
+        opt["exp"] = exp
+        opt["ckpt_root"] = os.path.join(args.work, "checkpoint")
+        opt["total_iter"] = iters
+        opt["eval_step"] = ev
+        opt["save_step"] = iters
+        opt["keep_step"] = [iters]
+        opt["log_step"] = 25
+        opt["dataset"]["train_dataset"]["root_dir"] = train_root
+        opt["dataset"]["eval_dataset"]["root_dir"] = eval_root
+        return opt
+
+    def run(opt):
+        paths = PathHandler(opt["ckpt_root"], opt["exp"])
+        paths.make_job_dir()
+        build_trainer(opt).train_loop()
+        with open(paths.eval_csv_path) as f:
+            erows = [r for r in csv.DictReader(f)]
+        with open(paths.loss_csv_path) as f:
+            lrows = [r for r in csv.DictReader(f)]
+        if not args.no_artifacts:
+            shutil.copy(paths.eval_csv_path,
+                        os.path.join(art, f"{opt['exp']}_eval.csv"))
+            shutil.copy(paths.loss_csv_path,
+                        os.path.join(art, f"{opt['exp']}_loss.csv"))
+        return paths, erows, lrows
+
+    def corner(rows, which="max"):
+        """Rows at the (max,max) (or (min,min)) beta corner; rows without
+        beta columns (stage 1) pass through."""
+        if not rows or "beta_rate" not in rows[0]:
+            return rows
+        betas = sorted({(float(r["beta_rate"]), float(r["beta_vq"]))
+                        for r in rows})
+        pick = betas[-1] if which == "max" else betas[0]
+        return [r for r in rows
+                if (float(r["beta_rate"]), float(r["beta_vq"])) == pick]
+
+    # ---------------- s1: stage1_1-style (non-beta RD) -------------------
+    o1 = base_opt("cur_s1")
+    o1["trainer"] = {"type": "RateDistortionVqCodeTrainer"}
+    o1["model"] = {"type": "HyperpriorCharmVicModel",
+                   "enc_vq_input": "onehot_indices"}
+    o1["subnet"]["encoder"] = {
+        "type": "ElicVqCatScEncoder", "in_ch": 3, "out_ch": 96,
+        "main_ch": 64, "block_mid_ch": 32, "input_feat_ch": 260,
+        "proj_init": False}
+    o1["subnet"]["decoder"] = {
+        "type": "ElicFeatFusionDecoder", "in_ch": 96, "out_ch": 3,
+        "main_ch": 64, "block_mid_ch": 32, "use_tanh": False,
+        "feat_layer_name": "block1",
+        "fusion_layer_dict": {"block1": "block_1_8", "block2": "block_1_4",
+                              "block3": "block_1_2"}}
+    p1, e1, _ = run(o1)
+    j1 = [rd_objective(float(r["bpp"]), float(r["psnr"])) for r in e1]
+    verdict["stages"]["s1"] = {"J": [round(j, 4) for j in j1]}
+    verdict["gates"]["s1_J_improves"] = bool(j1[-1] < j1[0])
+    print(f"s1 J: {j1[0]:.4f} -> {j1[-1]:.4f}", flush=True)
+
+    # ---------------- s2: stage1_2-style (dual-beta RD) ------------------
+    o2 = base_opt("cur_s2")
+    o2["load_checkpoint"] = {
+        "path": p1.checkpoint_path("comp_model", iters),
+        "load_optimizer": False, "load_scheduler": False,
+        "strict": False,  # cross-architecture partial restore
+    }
+    p2, e2, _ = run(o2)
+    cmax = corner(e2, "max")
+    cmin = corner(e2, "min")
+    j2 = [rd_objective(float(r["bpp"]), float(r["psnr"])) for r in cmax]
+    bpp_hi = float(cmax[-1]["bpp"])
+    bpp_lo = float(cmin[-1]["bpp"])
+    s2_psnr, s2_bpp = float(cmax[-1]["psnr"]), bpp_hi
+    verdict["stages"]["s2"] = {
+        "corner_J": [round(j, 4) for j in j2],
+        "bpp_maxbeta": bpp_hi, "bpp_minbeta": bpp_lo}
+    verdict["gates"]["s2_corner_J_improves"] = bool(j2[-1] < j2[0])
+    # exp(beta_rate) rate weighting: the high-beta corner must emit fewer
+    # bits (small tolerance for soak-scale noise)
+    verdict["gates"]["s2_beta_corners_ordered"] = \
+        bool(bpp_hi <= bpp_lo * 1.05)
+    print(f"s2 corner J: {j2[0]:.4f} -> {j2[-1]:.4f}; "
+          f"bpp hi/lo corner {bpp_hi:.4f}/{bpp_lo:.4f}", flush=True)
+
+    # ---------------- s3: stage1_3-style GAN -----------------------------
+    o3 = base_opt("cur_s3")
+    o3["trainer"] = {"type": "DualBetaCondGanDistortionVqCodeTrainer"}
+    o3["loss"] = {k: v for k, v in dict(o3["loss"]).items()
+                  if k != "rate_loss"}
+    o3["loss"]["gan_loss"] = {"type": "VanillaGANLoss", "loss_weight": 0.01}
+    o3["load_checkpoint"] = {
+        "path": p2.checkpoint_path("comp_model", iters),
+        "load_optimizer": False, "load_scheduler": False,
+        "load_discriminator": False, "strict": True,
+    }
+    p3, e3, l3 = run(o3)
+    c3 = corner(e3, "max")
+    s3_skip = sum(float(r.get("skipped") or 0) for r in l3)
+    s3_d = float(l3[-1]["d_loss"])
+    s3_psnr, s3_bpp = float(c3[-1]["psnr"]), float(c3[-1]["bpp"])
+    verdict["stages"]["s3"] = {"d_loss": s3_d, "skipped": s3_skip,
+                               "psnr": s3_psnr, "bpp": s3_bpp}
+    verdict["gates"].update(
+        s3_zero_nan_skips=bool(s3_skip == 0),
+        s3_d_loss_sane=bool(np.isfinite(s3_d) and 0.05 < s3_d < 3.0),
+        s3_psnr_holds=bool(s3_psnr >= s2_psnr - 1.5),
+        s3_bpp_frozen=bool(abs(s3_bpp - s2_bpp)
+                           <= 0.10 * max(s2_bpp, 1e-6)))
+    print(f"s3 d_loss={s3_d:.4f} skipped={s3_skip:.0f} "
+          f"psnr={s3_psnr:.2f} (s2 {s2_psnr:.2f}) bpp={s3_bpp:.4f}",
+          flush=True)
+
+    # ---------------- s4: stage3-style GAN (selected pairs) --------------
+    o4 = base_opt("cur_s4")
+    o4["trainer"] = {"type": "DualBetaCondGanDistortionVqCodeTrainer"}
+    o4["loss"] = dict(o3["loss"])
+    o4["model"] = dict(o4["model"])
+    o4["model"]["use_selected_beta_pairs"] = True
+    o4["model"]["selected_beta_rate"] = [2.29, 1.51, 1.12, 0.62, 0.16]
+    o4["model"]["selected_beta_vq"] = [3.00, 2.25, 2.00, 1.50, 1.00]
+    o4["load_checkpoint"] = {
+        "path": p3.checkpoint_path("comp_model", iters),
+        "load_optimizer": True, "load_scheduler": False,
+        "load_discriminator": True, "new_g_lr": 5e-5, "new_d_lr": 5e-5,
+        "strict": True,
+    }
+    _, e4, l4 = run(o4)
+    c4 = corner(e4, "max")
+    s4_skip = sum(float(r.get("skipped") or 0) for r in l4)
+    s4_d = float(l4[-1]["d_loss"])
+    s4_psnr = float(c4[-1]["psnr"])
+    verdict["stages"]["s4"] = {"d_loss": s4_d, "skipped": s4_skip,
+                               "psnr": s4_psnr}
+    verdict["gates"].update(
+        s4_zero_nan_skips=bool(s4_skip == 0),
+        s4_d_loss_sane=bool(np.isfinite(s4_d) and 0.05 < s4_d < 3.0),
+        s4_psnr_holds=bool(s4_psnr >= s3_psnr - 1.0))
+    print(f"s4 d_loss={s4_d:.4f} skipped={s4_skip:.0f} "
+          f"psnr={s4_psnr:.2f} (s3 {s3_psnr:.2f})", flush=True)
+
+    print("curriculum gates:", verdict["gates"], flush=True)
+    if not args.no_artifacts:
+        with open(os.path.join(art, "verdict.json"), "w") as f:
+            json.dump(verdict, f, indent=1)
+    if not args.keep_work:
+        shutil.rmtree(args.work, ignore_errors=True)
+    if not all(verdict["gates"].values()):
+        raise SystemExit(f"CURRICULUM GATES FAILED: {verdict['gates']}")
+    print("curriculum soak gates passed")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=3000)
@@ -182,6 +372,10 @@ def main():
                    help="run the two-phase RD->GAN curriculum soak "
                         "(docs/artifacts/soak_gan_config.yaml) instead of "
                         "the stage1_1 RD soak")
+    p.add_argument("--curriculum", action="store_true",
+                   help="run the full 4-stage curriculum chain "
+                        "(s1 RD -> s2 dual-beta -> s3 GAN -> s4 selected-"
+                        "pairs GAN) with real handoff knobs at each stage")
     p.add_argument("--config", type=str, default=None,
                    help="override the soak config (default: the committed "
                         "mid-size docs/artifacts/soak_stage1_1_config.yaml)")
@@ -207,6 +401,9 @@ def main():
     train_root, eval_root = make_synthetic_dataset(
         os.path.join(args.work, "datasets"))
 
+    if args.curriculum:
+        run_curriculum(args, repo, train_root, eval_root)
+        return
     if args.gan:
         run_gan_soak(args, repo, train_root, eval_root)
         return
