@@ -102,6 +102,26 @@ def encode_phase():
             lat[f"y{i}"] = r["y_hat"]
             lat[f"z{i}"] = r["z_hat"]
         np.savez(os.path.join(EXCHANGE, f"{mode}_latents.npz"), **lat)
+        # hyper_out parity probe: the first conv-derived float the decoder
+        # must reproduce — saved so the decode phase can localize any
+        # divergence to the hyperdecoder specifically
+        import jax.numpy as jnp
+        from dc_vic_tpu.ops.rans import decode_with_indexes
+        padH = -(-H // codec.model_stride) * codec.model_stride
+        padW = -(-W // codec.model_stride) * codec.model_stride
+        zH, zW = padH // codec.model_stride, padW // codec.model_stride
+        Cz = codec.module.bottleneck_z
+        z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
+                                 (zH, zW, Cz)).reshape(-1)
+        z_sym = np.stack([decode_with_indexes(r["string_list"][1], z_idx1,
+                                              codec.z_table)
+                          .reshape(zH, zW, Cz) for r in res])
+        hyper = codec._get_jit(("hyper", z_sym.shape),
+                               codec._hyper_decode_fn)
+        ho, _ = hyper(codec._params_chain,
+                      codec._chain_put(z_sym.astype(np.int16)))
+        np.save(os.path.join(EXCHANGE, f"{mode}_hyperout.npy"),
+                np.asarray(ho))
         # encoder-side self-check on its own platform first
         ok_self = codec.verify_roundtrip(
             res, [r["string_list"] for r in res], (H, W))
@@ -131,15 +151,62 @@ def decode_phase():
         codec = Codec(spec, params, stream_format="compressai")
         try:
             exact = bool(codec.verify_roundtrip(results, strings, (H, W)))
+            # diagnostic split: z_hat is conv-free exact arithmetic
+            # (dequantize of transmitted symbols) — if z matches but y does
+            # not, the divergence is in the hyperdecoder/ChARM convs; if z
+            # already differs, the stream/table layer itself desynced.
+            from dc_vic_tpu.codec.container import HeaderHandler
+            out_lat = codec._decompress_tpu if False else None  # noqa
+            diag = {}
+            # recompute decode-side latents the way verify_roundtrip does,
+            # via a throwaway decode that returns latents
+            z_idx = None
+            from dc_vic_tpu.ops.rans import decode_with_indexes
+            padH = -(-H // codec.model_stride) * codec.model_stride
+            padW = -(-W // codec.model_stride) * codec.model_stride
+            zH, zW = padH // codec.model_stride, padW // codec.model_stride
+            Cz = codec.module.bottleneck_z
+            z_idx1 = np.broadcast_to(np.arange(Cz, dtype=np.int32),
+                                     (zH, zW, Cz)).reshape(-1)
+            z_sym = np.stack([decode_with_indexes(s[1], z_idx1,
+                                                  codec.z_table)
+                              .reshape(zH, zW, Cz) for s in strings])
+            import jax.numpy as jnp
+            hyper = codec._get_jit(("hyper", z_sym.shape),
+                                   codec._hyper_decode_fn)
+            ho, z_hat_dec = hyper(codec._params_chain,
+                                  jnp.asarray(z_sym.astype(np.int16)))
+            z_hat_dec = np.asarray(z_hat_dec)
+            z_ref = np.stack([lat[f"z{i}"] for i in range(B)])
+            diag["z_hat_exact"] = bool(np.array_equal(z_hat_dec, z_ref))
+            diag["z_hat_maxdiff"] = float(np.abs(
+                z_hat_dec - z_ref).max())
+            ho_ref = np.load(os.path.join(EXCHANGE,
+                                          f"{mode}_hyperout.npy"))
+            ho_dec = np.asarray(ho)
+            diag["hyperout_exact"] = bool(np.array_equal(ho_dec, ho_ref))
+            diag["hyperout_maxdiff"] = float(np.abs(
+                ho_dec.astype(np.float64)
+                - ho_ref.astype(np.float64)).max())
+            y_hat_dec = np.asarray(codec._charm_decode(
+                ho, [s[2] for s in strings], B,
+                padH // codec.y_stride, padW // codec.y_stride,
+                codec.module.bottleneck_y))
+            y_ref = np.stack([lat[f"y{i}"] for i in range(B)])
+            diag["y_hat_exact"] = bool(np.array_equal(y_hat_dec, y_ref))
+            diag["y_hat_maxdiff"] = float(np.abs(y_hat_dec - y_ref).max())
+            diag["y_hat_mismatch_frac"] = float(
+                (y_hat_dec != y_ref).mean())
             img = codec.decompress(strings)
             decoded = bool(img.shape == (B, H, W, 3))
         except Exception as e:  # a desync can surface as a decode error
-            exact, decoded = False, False
+            exact, decoded, diag = False, False, {"error": repr(e)}
             print(f"[decode/cpu] {mode}: EXCEPTION {type(e).__name__}: {e}",
                   flush=True)
-        out[mode] = {"latents_bit_exact": exact, "decoded": decoded}
+        out[mode] = {"latents_bit_exact": exact, "decoded": decoded,
+                     **diag}
         print(f"[decode/cpu] {mode}: latents_bit_exact={exact} "
-              f"decoded={decoded}", flush=True)
+              f"decoded={decoded} diag={diag}", flush=True)
     art = {
         "what": "TPU-encode -> CPU-decode bit-exactness per params_backend "
                 "(compressai format, entropy_precision=high)",

@@ -218,7 +218,7 @@ def run_curriculum(args, repo, train_root, eval_root):
         opt["eval_step"] = ev
         opt["save_step"] = iters
         opt["keep_step"] = [iters]
-        opt["log_step"] = 25
+        opt["log_step"] = min(25, max(1, iters // 4))
         opt["dataset"]["train_dataset"]["root_dir"] = train_root
         opt["dataset"]["eval_dataset"]["root_dir"] = eval_root
         return opt
