@@ -141,11 +141,47 @@ def bottleneck_indexes(shape_nhwc: Tuple[int, ...]) -> np.ndarray:
     return np.broadcast_to(np.arange(C, dtype=np.int32), (B, H, W, C))
 
 
+def _np_logits_cumulative(params: dict, inputs: np.ndarray) -> np.ndarray:
+    """Host float64 evaluation of the learned cumulative's logits
+    ([C, 1, N] -> [C, 1, N]). Table construction MUST be platform-
+    independent: the quantized CDFs define the bitstream, and evaluating
+    the chain with jnp on the default backend gave (slightly) different
+    pmfs on TPU vs CPU — different integer tables — so a TPU-encoded
+    stream desynced on a CPU decoder (r5 cross-platform check, the real
+    root cause). Plain numpy double precision is deterministic and
+    identical everywhere. (The reference never hits this: compressai
+    stores _quantized_cdf buffers in the checkpoint and decode loads
+    them, base_model.py:88-104 — which converted real checkpoints do
+    here too; this builder serves freshly-initialized models.)"""
+    mats = sorted(k for k in params if k.startswith("matrix_"))
+    logits = np.asarray(inputs, np.float64)
+    K = len(mats)
+    for i in range(K):
+        m = np.logaddexp(0.0, np.asarray(params[f"matrix_{i}"], np.float64))
+        logits = np.matmul(m, logits) + np.asarray(params[f"bias_{i}"],
+                                                   np.float64)
+        if i < K - 1:
+            f = np.tanh(np.asarray(params[f"factor_{i}"], np.float64))
+            logits = logits + f * np.tanh(logits)
+    return logits
+
+
+def _np_sigmoid(x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
 def build_bottleneck_cdf(bound_module: EntropyBottleneck, params) -> CdfTable:
-    """Offline CDF table construction (EntropyBottleneck.update equivalent)."""
-    module = bound_module.bind(params)
-    q = np.asarray(module.quantiles)
-    medians = q[:, 0, 1]
+    """Offline CDF table construction (EntropyBottleneck.update equivalent).
+    Runs entirely in host float64 (see _np_logits_cumulative: the tables
+    define the bitstream and must not depend on the accelerator)."""
+    p = {k: np.asarray(v) for k, v in params["params"].items()}
+    q = p["quantiles"]
+    medians = q[:, 0, 1].astype(np.float64)
     minima = np.clip(np.ceil(medians - q[:, 0, 0]), 0, None).astype(np.int64)
     maxima = np.clip(np.ceil(q[:, 0, 2] - medians), 0, None).astype(np.int64)
     pmf_length = minima + maxima + 1
@@ -153,16 +189,15 @@ def build_bottleneck_cdf(bound_module: EntropyBottleneck, params) -> CdfTable:
     pmf_start = medians - minima
 
     C = bound_module.channels
-    samples = np.arange(max_length)[None, :] + pmf_start[:, None]  # [C, L]
-    samples_j = jnp.asarray(samples, jnp.float32).reshape(C, 1, -1)
+    samples = (np.arange(max_length)[None, :]
+               + pmf_start[:, None]).reshape(C, 1, -1)
 
-    lower = module._logits_cumulative(samples_j - 0.5, stop_gradient=True)
-    upper = module._logits_cumulative(samples_j + 0.5, stop_gradient=True)
-    sign = -jnp.sign(lower + upper)
-    pmf = jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
-    pmf = np.asarray(pmf).reshape(C, -1)
-    tail = (np.asarray(jax.nn.sigmoid(lower[:, 0, 0]))
-            + np.asarray(jax.nn.sigmoid(-upper[:, 0, -1])))
+    lower = _np_logits_cumulative(p, samples - 0.5)
+    upper = _np_logits_cumulative(p, samples + 0.5)
+    sign = -np.sign(lower + upper)
+    pmf = np.abs(_np_sigmoid(sign * upper) - _np_sigmoid(sign * lower))
+    pmf = pmf.reshape(C, -1)
+    tail = _np_sigmoid(lower[:, 0, 0]) + _np_sigmoid(-upper[:, 0, -1])
 
     pmf = np.where(np.arange(max_length)[None, :] < pmf_length[:, None], pmf, 0.0)
     cdfs = build_cdf_rows(pmf, tail, pmf_length, max_length)
