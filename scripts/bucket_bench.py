@@ -18,7 +18,7 @@ DIV2K-style set and verifies the contract:
     shared — a second large bucket reuses them.
 
 Per-bucket cold (compile-inclusive) and warm throughput land in a JSON
-artifact (docs/artifacts/bucket_bench_r4.json with --artifacts).
+artifact (docs/artifacts/bucket_bench_r5.json with --artifacts).
 
 Usage:
   real chip:   python scripts/bucket_bench.py --artifacts
@@ -114,7 +114,7 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--work", type=str, default="/tmp/bucket_bench")
     p.add_argument("--artifacts", action="store_true",
-                   help="write docs/artifacts/bucket_bench_r4.json")
+                   help="write docs/artifacts/bucket_bench_r5.json")
     args = p.parse_args()
 
     import jax
@@ -177,27 +177,41 @@ def main():
               f"{compiled} XLA compiles")
 
     # one warm repeat per bucket so every bucket has a steady-state number
+    bucket_streams = {}
     for chunk in chunks:
         imgs = load_chunk(chunk)
         key = f"{imgs.shape[1]}x{imgs.shape[2]}"
         before = counter.count
         t0 = time.perf_counter()
-        codec.compress(imgs, quality_ind=1)
+        res = codec.compress(imgs, quality_ind=1)
         dt = time.perf_counter() - t0
         assert counter.count == before, (
             f"repeat chunk {key} recompiled — jit cache miss on a warm "
             f"padded bucket")
         per_bucket[key]["warm_s"].append((dt, len(imgs)))
+        bucket_streams.setdefault(key, [r["string_list"] for r in res])
+
+    # decode side per bucket (r5: the >1024px tiled reconstruction was
+    # rewritten device-resident — VERDICT r4 #6): cold, then warm
+    for key, streams in bucket_streams.items():
+        out = codec.decompress(streams)           # compile + warm caches
+        t0 = time.perf_counter()
+        out = codec.decompress(streams)
+        dt = time.perf_counter() - t0
+        per_bucket[key]["warm_dec"] = (dt, out.shape[0])
 
     rows = []
     for key, b in per_bucket.items():
         wt = sum(t for t, _ in b["warm_s"])
         wn = sum(n for _, n in b["warm_s"])
+        dec = b.get("warm_dec")
         rows.append({
             "raw_hw": key, "n_imgs": b["n_imgs"],
             "xla_compiles": b["compiles"],
             "cold_s": round(b["cold_s"], 2) if b["cold_s"] else None,
             "warm_img_per_s": round(wn / wt, 3) if wt else None,
+            "warm_dec_img_per_s": (round(dec[1] / dec[0], 3)
+                                   if dec else None),
             "bpp_proxy_bytes": b["bytes"],
         })
     result = {
@@ -214,7 +228,7 @@ def main():
         f"({n_buckets})")
     if args.artifacts:
         art = os.path.join(os.path.dirname(__file__), "..", "docs",
-                           "artifacts", "bucket_bench_r4.json")
+                           "artifacts", "bucket_bench_r5.json")
         with open(art, "w") as f:
             json.dump(result, f, indent=2)
         print("wrote", art)
