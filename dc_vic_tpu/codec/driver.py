@@ -115,9 +115,16 @@ class Codec:
     and entropy scans stay batched). Non-portable streams record their
     encode batch in the header and the decoder fails fast on a mismatch
     instead of risking a silent lowering-dependent desync (PERF.md §8b).
-    The remaining coupling in BOTH modes is the platform: the canonical
-    executables must lower identically, i.e. same accelerator type and
-    same XLA/JAX software version on encode and decode."""
+    Platform coupling is PER FORMAT (measured, r5 — docs/artifacts/
+    cross_platform_r5.json): the compressai format with its default
+    params_backend="cpu" derives entropy parameters on the CPU platform
+    on both sides (the reference's codec placement,
+    hyperprior_dc_vic_model.py:70-73), so a TPU-encoded .bin decodes
+    BIT-EXACTLY on a CPU-only machine — proven on real hardware. The tpu
+    format keeps the whole decode accelerator-resident and therefore
+    remains coupled to the accelerator type + XLA/JAX version (the same
+    artifact records the accel-chain hyper_out diverging by ~1.5e-4
+    between TPU f32-high and CPU f32, which desyncs the y decode)."""
 
     def __init__(self, spec: "CompModelSpec", params,
                  stream_format: str = "tpu", encode_backend: str = "host",
