@@ -428,3 +428,26 @@ def test_build_indexes_matches_searchsorted():
     bounded = np.maximum(scales, np.float32(g.scale_bound))
     want = np.searchsorted(table[:-1], bounded, side="left")
     np.testing.assert_array_equal(got, want)
+
+
+def test_params_backend_api(built):
+    """r5: the compressai format defaults its entropy-parameter chain to
+    the CPU platform (the reference's codec placement — the basis of the
+    measured TPU-encode -> CPU-decode bit-exactness,
+    docs/artifacts/cross_platform_r5.json); the tpu format keeps it on the
+    accelerator and rejects the cpu override. On the CPU-only CI both
+    chains are the same platform — the cross-platform property itself is
+    proven on chip by scripts/cross_platform_check.py."""
+    spec, params = built
+    c = Codec(spec, params, stream_format="compressai")
+    assert c.params_backend == "cpu"
+    c2 = Codec(spec, params, stream_format="compressai",
+               params_backend="accel")
+    assert c2.params_backend == "accel"
+    assert Codec(spec, params, stream_format="tpu").params_backend == "accel"
+    with pytest.raises(AssertionError):
+        Codec(spec, params, stream_format="tpu", params_backend="cpu")
+    # the default-cpu codec roundtrips
+    img = np.random.default_rng(9).integers(0, 256, (1, 64, 64, 3), np.uint8)
+    res = c.compress(img, quality_ind=0, debug=True)
+    assert c.verify_roundtrip(res, [r["string_list"] for r in res], (64, 64))
