@@ -52,7 +52,16 @@ def parse_args():
     p.add_argument("--stream_format", type=str, default="tpu",
                    choices=["tpu", "compressai"],
                    help="tpu: device-coded streams (native, fastest); "
-                        "compressai: reference-compatible host coding")
+                        "compressai: reference-compatible host coding "
+                        "whose entropy parameters run on the CPU platform "
+                        "by default, so the .bin decodes bit-exactly on "
+                        "any machine (docs/artifacts/cross_platform_r5."
+                        "json)")
+    p.add_argument("--params_backend", type=str, default=None,
+                   choices=["cpu", "accel"],
+                   help="platform for the entropy-parameter chain "
+                        "(default: cpu for compressai — cross-platform "
+                        "streams; accel for tpu)")
     return p.parse_args()
 
 
@@ -135,7 +144,8 @@ def main():
     spec = build_comp_model(opt)
     params = init_params(spec, args.model_path)
     codec = Codec(spec, params, stream_format=args.stream_format,
-                  portable=args.portable)
+                  portable=args.portable,
+                  params_backend=args.params_backend)
 
     # resolution buckets -> batched encode per bucket (see plan_buckets)
     sizes = []
