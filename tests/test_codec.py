@@ -451,3 +451,18 @@ def test_params_backend_api(built):
     img = np.random.default_rng(9).integers(0, 256, (1, 64, 64, 3), np.uint8)
     res = c.compress(img, quality_ind=0, debug=True)
     assert c.verify_roundtrip(res, [r["string_list"] for r in res], (64, 64))
+
+
+def test_header_legacy_8byte_r4_tpu():
+    """Round-4 tpu headers were 8 bytes (no numeric-config byte): they must
+    parse with fast_entropy/bf16/escfree unknown, so the decoder skips the
+    config check and decodes through the conservative (non-escfree)
+    epilogue."""
+    import struct
+    legacy = struct.pack("<HHBB", 768, 512, 9 | 0x40, 0x80 | 1)
+    legacy += struct.pack("<H", 16)
+    d = HeaderHandler.decode(legacy)
+    assert d["stream_format"] == "tpu" and d["encode_batch"] == 16
+    assert d["t2free"] is True  # r4 bit 6 of the lane byte
+    assert d["fast_entropy"] is None and d["bf16"] is None
+    assert d["escfree"] is None
