@@ -155,8 +155,6 @@ def decode_phase():
             # (dequantize of transmitted symbols) — if z matches but y does
             # not, the divergence is in the hyperdecoder/ChARM convs; if z
             # already differs, the stream/table layer itself desynced.
-            from dc_vic_tpu.codec.container import HeaderHandler
-            out_lat = codec._decompress_tpu if False else None  # noqa
             diag = {}
             # recompute decode-side latents the way verify_roundtrip does,
             # via a throwaway decode that returns latents
