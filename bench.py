@@ -28,6 +28,10 @@ the device, so the only bytes that cross the link are the real contract
 fetch was ~25 MB/batch of extra d2h). The decoded-image fetch of batch k-1
 is DEFERRED into cycle k after batch k+1's encode is dispatched, so its d2h
 rides under device compute instead of serializing at the cycle tail.
+Round 5: the pack speculates escape-free (one compaction update/symbol)
+and certifies the bit per image in the header, which lets the decode skip
+the entire escape epilogue (docs/PERF.md §15); the portable (CLI-default)
+device cycle is recorded alongside in the "portable" JSON field.
 """
 from __future__ import annotations
 
